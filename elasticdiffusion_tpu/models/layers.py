@@ -1,0 +1,240 @@
+"""Shared Flax building blocks for the SD model stack (UNet / VAE / ControlNet).
+
+These reproduce the numerical contracts of the diffusers blocks the reference
+pipeline calls into (SURVEY §2.4.2-2.4.3) — GroupNorm(32)+SiLU ResNet blocks,
+Transformer2D with GEGLU feed-forward, sinusoidal timestep embeddings — built
+TPU-first: NHWC layout (TPU conv native), fp32 norms/softmax with bf16
+matmuls, and attention routed through the Pallas dispatch in
+kernels/attention.py.
+
+Parameter names intentionally mirror the HF checkpoints' module paths so the
+converter (models/convert.py) is a mechanical rename.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from elasticdiffusion_tpu.kernels.attention import dot_product_attention
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal embeddings, diffusers get_timestep_embedding semantics."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in fp32, output cast back to input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        out = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
+                           dtype=jnp.float32, param_dtype=jnp.float32)(
+                               x.astype(jnp.float32))
+        return out.astype(dtype)
+
+
+class TimestepEmbedding(nn.Module):
+    """Linear -> SiLU -> Linear (diffusers TimestepEmbedding)."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> SiLU -> conv -> (+temb) -> GN -> SiLU -> conv -> +skip."""
+
+    out_channels: int
+    use_temb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        in_ch = x.shape[-1]
+        h = GroupNorm32(name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(h)
+        if self.use_temb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm32(name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attn when context is None.
+
+    qkv_bias=True only in the VAE mid-block attention.
+    """
+
+    num_heads: int
+    head_dim: int
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.num_heads * self.head_dim
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(ctx)
+        B, Sq = q.shape[0], q.shape[1]
+        Sk = k.shape[1]
+        q = q.reshape(B, Sq, self.num_heads, self.head_dim)
+        k = k.reshape(B, Sk, self.num_heads, self.head_dim)
+        v = v.reshape(B, Sk, self.num_heads, self.head_dim)
+        out = dot_product_attention(q, k, v, use_pallas=self.use_pallas)
+        out = out.reshape(B, Sq, inner)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """proj to 2*4*dim, x * gelu(gate), proj back (diffusers FeedForward/GEGLU)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        hidden = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(hidden, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU FF, all residual."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, context):
+        attn = lambda name: CrossAttention(self.num_heads, self.head_dim,
+                                           dtype=self.dtype,
+                                           use_pallas=self.use_pallas, name=name)
+        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
+        x = x + attn("attn1")(ln("norm1")(x.astype(jnp.float32)).astype(x.dtype))
+        x = x + attn("attn2")(ln("norm2")(x.astype(jnp.float32)).astype(x.dtype),
+                              context=context)
+        x = x + GEGLUFeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
+            ln("norm3")(x.astype(jnp.float32)).astype(x.dtype))
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> proj_in -> blocks -> proj_out -> +residual."""
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    use_linear_projection: bool = False
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, H, W, C = x.shape
+        residual = x
+        h = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        if self.use_linear_projection:
+            h = h.reshape(B, H * W, C)
+            h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
+        else:
+            h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
+            h = h.reshape(B, H * W, C)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(self.num_heads, self.head_dim,
+                                      dtype=self.dtype, use_pallas=self.use_pallas,
+                                      name=f"blocks_{i}")(h, context)
+        if self.use_linear_projection:
+            h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+            h = h.reshape(B, H, W, C)
+        else:
+            h = h.reshape(B, H, W, C)
+            h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class Downsample2D(nn.Module):
+    """3x3 stride-2 conv; `pad` matches diffusers: UNet pads (1,1), VAE (0,1)."""
+
+    out_channels: int
+    pad: Tuple[int, int] = (1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                       padding=(self.pad, self.pad), dtype=self.dtype,
+                       name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x + 3x3 conv."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv")(x)
+
+
+class VAEAttention(nn.Module):
+    """Single-head spatial self-attention of the VAE mid block (qkv bias)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        residual = x
+        h = GroupNorm32(epsilon=1e-6, name="group_norm")(x).reshape(B, H * W, C)
+        out = CrossAttention(num_heads=1, head_dim=C, qkv_bias=True,
+                             dtype=self.dtype, use_pallas="off",
+                             name="attn")(h)
+        return residual + out.reshape(B, H, W, C)
