@@ -1,0 +1,389 @@
+"""HF checkpoint -> Flax param conversion (SURVEY §5 'checkpoint/resume').
+
+The reference pulls torch weights from the HF hub at init
+(/root/reference/elastic_diffusion.py:144-153). The rebuild keeps loading the
+SAME checkpoints: this module maps diffusers/transformers state dicts
+(safetensors or torch .bin) onto the param trees of models/{unet,vae,clip,
+controlnet}.py, and caches the converted pytrees as .npz so later runs skip
+conversion.
+
+Layout transforms:
+  conv   torch (O,I,kh,kw) -> flax (kh,kw,I,O)
+  linear torch (O,I)       -> flax (I,O)
+  norms  weight/bias       -> scale/bias
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from elasticdiffusion_tpu.configs import (
+    CLIPTextConfig, ModelBundleConfig, UNetConfig, VAEConfig,
+)
+
+# ---------------------------------------------------------------------------
+# IO helpers
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Dict[str, Any], prefix=()) -> Dict[Tuple[str, ...], np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            # keep ShapeDtypeStructs (eval_shape trees) as-is
+            out[prefix + (k,)] = v if hasattr(v, "shape") else np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for path, v in flat.items():
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return tree
+
+
+def save_params_npz(params: Dict[str, Any], path: str):
+    flat = {"/".join(k): v for k, v in _flatten(params).items()}
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str) -> Dict[str, Any]:
+    with np.load(path) as data:
+        flat = {tuple(k.split("/")): data[k] for k in data.files}
+    return _unflatten(flat)
+
+
+def load_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    """Read all safetensors/bin files of one HF model directory."""
+    sd: Dict[str, np.ndarray] = {}
+    for fname in sorted(os.listdir(model_dir)):
+        fpath = os.path.join(model_dir, fname)
+        if fname.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+            sd.update(load_file(fpath))
+        elif fname.endswith((".bin", ".pt", ".pth")):
+            import torch
+            t = torch.load(fpath, map_location="cpu", weights_only=True)
+            sd.update({k: v.float().numpy() if v.dtype == torch.float16
+                       else v.numpy() for k, v in t.items()})
+    if not sd:
+        raise FileNotFoundError(f"no weight files found in {model_dir}")
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# Key mapping
+# ---------------------------------------------------------------------------
+
+
+def _conv(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _lin(w):
+    return np.transpose(w, (1, 0))
+
+
+def _set(out, path: str, value: np.ndarray):
+    node = out
+    keys = path.split(".")
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def _map_resnet(sd, src: str, out, dst: str, prefix=""):
+    p = lambda s: f"{prefix}{src}.{s}"
+    _set(out, f"{dst}.norm1.GroupNorm_0.scale", sd[p("norm1.weight")])
+    _set(out, f"{dst}.norm1.GroupNorm_0.bias", sd[p("norm1.bias")])
+    _set(out, f"{dst}.conv1.kernel", _conv(sd[p("conv1.weight")]))
+    _set(out, f"{dst}.conv1.bias", sd[p("conv1.bias")])
+    if p("time_emb_proj.weight") in sd:
+        _set(out, f"{dst}.time_emb_proj.kernel", _lin(sd[p("time_emb_proj.weight")]))
+        _set(out, f"{dst}.time_emb_proj.bias", sd[p("time_emb_proj.bias")])
+    _set(out, f"{dst}.norm2.GroupNorm_0.scale", sd[p("norm2.weight")])
+    _set(out, f"{dst}.norm2.GroupNorm_0.bias", sd[p("norm2.bias")])
+    _set(out, f"{dst}.conv2.kernel", _conv(sd[p("conv2.weight")]))
+    _set(out, f"{dst}.conv2.bias", sd[p("conv2.bias")])
+    if p("conv_shortcut.weight") in sd:
+        _set(out, f"{dst}.conv_shortcut.kernel", _conv(sd[p("conv_shortcut.weight")]))
+        _set(out, f"{dst}.conv_shortcut.bias", sd[p("conv_shortcut.bias")])
+
+
+def _map_attention(sd, src: str, out, dst: str, prefix=""):
+    """One CrossAttention (to_q/k/v/out, possibly biased)."""
+    p = lambda s: f"{prefix}{src}.{s}"
+    for name in ("to_q", "to_k", "to_v"):
+        _set(out, f"{dst}.{name}.kernel", _lin(sd[p(f"{name}.weight")]))
+        if p(f"{name}.bias") in sd:
+            _set(out, f"{dst}.{name}.bias", sd[p(f"{name}.bias")])
+    _set(out, f"{dst}.to_out.kernel", _lin(sd[p("to_out.0.weight")]))
+    _set(out, f"{dst}.to_out.bias", sd[p("to_out.0.bias")])
+
+
+def _map_transformer2d(sd, src: str, out, dst: str, depth: int,
+                       use_linear_projection: bool, prefix=""):
+    p = lambda s: f"{prefix}{src}.{s}"
+    _set(out, f"{dst}.norm.GroupNorm_0.scale", sd[p("norm.weight")])
+    _set(out, f"{dst}.norm.GroupNorm_0.bias", sd[p("norm.bias")])
+    for io in ("proj_in", "proj_out"):
+        w = sd[p(f"{io}.weight")]
+        _set(out, f"{dst}.{io}.kernel", _lin(w) if use_linear_projection else _conv(w))
+        _set(out, f"{dst}.{io}.bias", sd[p(f"{io}.bias")])
+    for k in range(depth):
+        b = f"transformer_blocks.{k}"
+        d = f"{dst}.blocks_{k}"
+        for n in ("norm1", "norm2", "norm3"):
+            _set(out, f"{d}.{n}.scale", sd[p(f"{b}.{n}.weight")])
+            _set(out, f"{d}.{n}.bias", sd[p(f"{b}.{n}.bias")])
+        _map_attention(sd, f"{src}.{b}.attn1", out, f"{d}.attn1", prefix)
+        _map_attention(sd, f"{src}.{b}.attn2", out, f"{d}.attn2", prefix)
+        _set(out, f"{d}.ff.proj_in.kernel", _lin(sd[p(f"{b}.ff.net.0.proj.weight")]))
+        _set(out, f"{d}.ff.proj_in.bias", sd[p(f"{b}.ff.net.0.proj.bias")])
+        _set(out, f"{d}.ff.proj_out.kernel", _lin(sd[p(f"{b}.ff.net.2.weight")]))
+        _set(out, f"{d}.ff.proj_out.bias", sd[p(f"{b}.ff.net.2.bias")])
+
+
+def _map_unet_core(sd, out, cfg: UNetConfig, prefix=""):
+    """Shared by UNet and ControlNet (down+mid)."""
+    _set(out, "conv_in.kernel", _conv(sd[prefix + "conv_in.weight"]))
+    _set(out, "conv_in.bias", sd[prefix + "conv_in.bias"])
+    for l in ("linear_1", "linear_2"):
+        _set(out, f"time_embedding.{l}.kernel",
+             _lin(sd[f"{prefix}time_embedding.{l}.weight"]))
+        _set(out, f"time_embedding.{l}.bias", sd[f"{prefix}time_embedding.{l}.bias"])
+        if f"{prefix}add_embedding.{l}.weight" in sd:
+            _set(out, f"add_embedding.{l}.kernel",
+                 _lin(sd[f"{prefix}add_embedding.{l}.weight"]))
+            _set(out, f"add_embedding.{l}.bias", sd[f"{prefix}add_embedding.{l}.bias"])
+
+    n = len(cfg.block_out_channels)
+    for i in range(n):
+        has_attn = cfg.down_block_has_attn[i]
+        for j in range(cfg.layers_per_block):
+            if has_attn:
+                _map_resnet(sd, f"down_blocks.{i}.resnets.{j}", out,
+                            f"down_{i}_{j}.resnet", prefix)
+                _map_transformer2d(sd, f"down_blocks.{i}.attentions.{j}", out,
+                                   f"down_{i}_{j}.attn",
+                                   cfg.transformer_layers_per_block[i],
+                                   cfg.use_linear_projection, prefix)
+            else:
+                _map_resnet(sd, f"down_blocks.{i}.resnets.{j}", out,
+                            f"down_{i}_{j}_resnet", prefix)
+        if i < n - 1:
+            _set(out, f"down_{i}_downsample.conv.kernel",
+                 _conv(sd[f"{prefix}down_blocks.{i}.downsamplers.0.conv.weight"]))
+            _set(out, f"down_{i}_downsample.conv.bias",
+                 sd[f"{prefix}down_blocks.{i}.downsamplers.0.conv.bias"])
+
+    _map_resnet(sd, "mid_block.resnets.0", out, "mid_resnet_0", prefix)
+    _map_transformer2d(sd, "mid_block.attentions.0", out, "mid_attn",
+                       cfg.transformer_layers_per_block[-1],
+                       cfg.use_linear_projection, prefix)
+    _map_resnet(sd, "mid_block.resnets.1", out, "mid_resnet_1", prefix)
+
+
+def convert_unet(sd: Dict[str, np.ndarray], cfg: UNetConfig) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    _map_unet_core(sd, out, cfg)
+    n = len(cfg.block_out_channels)
+    for k in range(n):  # diffusers up block k == our channel index i = n-1-k
+        i = n - 1 - k
+        has_attn = cfg.down_block_has_attn[i]
+        for j in range(cfg.layers_per_block + 1):
+            if has_attn:
+                _map_resnet(sd, f"up_blocks.{k}.resnets.{j}", out,
+                            f"up_{i}_{j}.resnet")
+                _map_transformer2d(sd, f"up_blocks.{k}.attentions.{j}", out,
+                                   f"up_{i}_{j}.attn",
+                                   cfg.transformer_layers_per_block[i],
+                                   cfg.use_linear_projection)
+            else:
+                _map_resnet(sd, f"up_blocks.{k}.resnets.{j}", out,
+                            f"up_{i}_{j}_resnet")
+        if i > 0:
+            _set(out, f"up_{i}_upsample.conv.kernel",
+                 _conv(sd[f"up_blocks.{k}.upsamplers.0.conv.weight"]))
+            _set(out, f"up_{i}_upsample.conv.bias",
+                 sd[f"up_blocks.{k}.upsamplers.0.conv.bias"])
+    _set(out, "conv_norm_out.GroupNorm_0.scale", sd["conv_norm_out.weight"])
+    _set(out, "conv_norm_out.GroupNorm_0.bias", sd["conv_norm_out.bias"])
+    _set(out, "conv_out.kernel", _conv(sd["conv_out.weight"]))
+    _set(out, "conv_out.bias", sd["conv_out.bias"])
+    return out
+
+
+def convert_controlnet(sd: Dict[str, np.ndarray], cfg: UNetConfig) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    _map_unet_core(sd, out, cfg)
+    ce = "controlnet_cond_embedding"
+    _set(out, f"{ce}.conv_in.kernel", _conv(sd[f"{ce}.conv_in.weight"]))
+    _set(out, f"{ce}.conv_in.bias", sd[f"{ce}.conv_in.bias"])
+    k = 0
+    while f"{ce}.blocks.{k}.weight" in sd:
+        _set(out, f"{ce}.blocks_{k}.kernel", _conv(sd[f"{ce}.blocks.{k}.weight"]))
+        _set(out, f"{ce}.blocks_{k}.bias", sd[f"{ce}.blocks.{k}.bias"])
+        k += 1
+    _set(out, f"{ce}.conv_out.kernel", _conv(sd[f"{ce}.conv_out.weight"]))
+    _set(out, f"{ce}.conv_out.bias", sd[f"{ce}.conv_out.bias"])
+    k = 0
+    while f"controlnet_down_blocks.{k}.weight" in sd:
+        _set(out, f"controlnet_down_{k}.kernel",
+             _conv(sd[f"controlnet_down_blocks.{k}.weight"]))
+        _set(out, f"controlnet_down_{k}.bias", sd[f"controlnet_down_blocks.{k}.bias"])
+        k += 1
+    _set(out, "controlnet_mid.kernel", _conv(sd["controlnet_mid_block.weight"]))
+    _set(out, "controlnet_mid.bias", sd["controlnet_mid_block.bias"])
+    return out
+
+
+def _map_vae_attention(sd, src: str, out, dst: str):
+    """VAE mid attention; handles both modern (to_q) and legacy (query) names."""
+    legacy = f"{src}.query.weight" in sd
+    names = {"to_q": "query", "to_k": "key", "to_v": "value"} if legacy else \
+            {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v"}
+    gn = f"{src}.group_norm"
+    _set(out, f"{dst}.group_norm.GroupNorm_0.scale", sd[f"{gn}.weight"])
+    _set(out, f"{dst}.group_norm.GroupNorm_0.bias", sd[f"{gn}.bias"])
+    for flax_n, torch_n in names.items():
+        w = sd[f"{src}.{torch_n}.weight"]
+        w = w[:, :, 0, 0] if w.ndim == 4 else w
+        _set(out, f"{dst}.attn.{flax_n}.kernel", _lin(w))
+        _set(out, f"{dst}.attn.{flax_n}.bias", sd[f"{src}.{torch_n}.bias"])
+    o = f"{src}.proj_attn" if legacy else f"{src}.to_out.0"
+    w = sd[f"{o}.weight"]
+    w = w[:, :, 0, 0] if w.ndim == 4 else w
+    _set(out, f"{dst}.attn.to_out.kernel", _lin(w))
+    _set(out, f"{dst}.attn.to_out.bias", sd[f"{o}.bias"])
+
+
+def convert_vae(sd: Dict[str, np.ndarray], cfg: VAEConfig) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    n = len(cfg.block_out_channels)
+    for side in ("encoder", "decoder"):
+        sub: Dict[str, Any] = {}
+        _set(out, side, sub)
+        pre = f"{side}."
+        _set(sub, "conv_in.kernel", _conv(sd[pre + "conv_in.weight"]))
+        _set(sub, "conv_in.bias", sd[pre + "conv_in.bias"])
+        blocks = "down_blocks" if side == "encoder" else "up_blocks"
+        layers = cfg.layers_per_block if side == "encoder" else cfg.layers_per_block + 1
+        dstpre = "down" if side == "encoder" else "up"
+        for i in range(n):
+            for j in range(layers):
+                _map_resnet(sd, f"{blocks}.{i}.resnets.{j}", sub,
+                            f"{dstpre}_{i}_{j}", pre)
+            if i < n - 1:
+                if side == "encoder":
+                    _set(sub, f"down_{i}_downsample.conv.kernel",
+                         _conv(sd[f"{pre}down_blocks.{i}.downsamplers.0.conv.weight"]))
+                    _set(sub, f"down_{i}_downsample.conv.bias",
+                         sd[f"{pre}down_blocks.{i}.downsamplers.0.conv.bias"])
+                else:
+                    _set(sub, f"up_{i}_upsample.conv.kernel",
+                         _conv(sd[f"{pre}up_blocks.{i}.upsamplers.0.conv.weight"]))
+                    _set(sub, f"up_{i}_upsample.conv.bias",
+                         sd[f"{pre}up_blocks.{i}.upsamplers.0.conv.bias"])
+        _map_resnet(sd, "mid_block.resnets.0", sub, "mid_resnet_0", pre)
+        _map_vae_attention(sd, f"{side}.mid_block.attentions.0", sub, "mid_attn")
+        _map_resnet(sd, "mid_block.resnets.1", sub, "mid_resnet_1", pre)
+        _set(sub, "conv_norm_out.GroupNorm_0.scale", sd[pre + "conv_norm_out.weight"])
+        _set(sub, "conv_norm_out.GroupNorm_0.bias", sd[pre + "conv_norm_out.bias"])
+        _set(sub, "conv_out.kernel", _conv(sd[pre + "conv_out.weight"]))
+        _set(sub, "conv_out.bias", sd[pre + "conv_out.bias"])
+    _set(out, "quant_conv.kernel", _conv(sd["quant_conv.weight"]))
+    _set(out, "quant_conv.bias", sd["quant_conv.bias"])
+    _set(out, "post_quant_conv.kernel", _conv(sd["post_quant_conv.weight"]))
+    _set(out, "post_quant_conv.bias", sd["post_quant_conv.bias"])
+    return out
+
+
+def convert_clip(sd: Dict[str, np.ndarray], cfg: CLIPTextConfig) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    pre = "text_model."
+    _set(out, "token_embedding.embedding",
+         sd[pre + "embeddings.token_embedding.weight"])
+    out["position_embedding"] = sd[pre + "embeddings.position_embedding.weight"]
+    for i in range(cfg.num_layers):
+        lp = f"{pre}encoder.layers.{i}"
+        d = f"layers_{i}"
+        for a in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _set(out, f"{d}.{a}.kernel", _lin(sd[f"{lp}.self_attn.{a}.weight"]))
+            _set(out, f"{d}.{a}.bias", sd[f"{lp}.self_attn.{a}.bias"])
+        for nrm in ("layer_norm1", "layer_norm2"):
+            _set(out, f"{d}.{nrm}.scale", sd[f"{lp}.{nrm}.weight"])
+            _set(out, f"{d}.{nrm}.bias", sd[f"{lp}.{nrm}.bias"])
+        for fc in ("fc1", "fc2"):
+            _set(out, f"{d}.{fc}.kernel", _lin(sd[f"{lp}.mlp.{fc}.weight"]))
+            _set(out, f"{d}.{fc}.bias", sd[f"{lp}.mlp.{fc}.bias"])
+    _set(out, "final_layer_norm.scale", sd[pre + "final_layer_norm.weight"])
+    _set(out, "final_layer_norm.bias", sd[pre + "final_layer_norm.bias"])
+    if "text_projection.weight" in sd:
+        _set(out, "text_projection.kernel", _lin(sd["text_projection.weight"]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Top-level conversion
+# ---------------------------------------------------------------------------
+
+_SUBDIRS = {"unet": "unet", "vae": "vae", "text_encoder_0": "text_encoder",
+            "text_encoder_1": "text_encoder_2"}
+
+
+def convert_checkpoint(src_dir: str, out_dir: str, bundle_cfg: ModelBundleConfig,
+                       controlnet_src: Optional[str] = None):
+    """Convert an HF diffusers pipeline directory into cached .npz pytrees."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name, sub in _SUBDIRS.items():
+        d = os.path.join(src_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        sd = load_state_dict(d)
+        if name == "unet":
+            params = convert_unet(sd, bundle_cfg.unet)
+        elif name == "vae":
+            params = convert_vae(sd, bundle_cfg.vae)
+        else:
+            idx = int(name.rsplit("_", 1)[1])
+            params = convert_clip(sd, bundle_cfg.text_encoders[idx])
+        save_params_npz(params, os.path.join(out_dir, f"{name}.npz"))
+    if controlnet_src is not None:
+        sd = load_state_dict(controlnet_src)
+        params = convert_controlnet(sd, bundle_cfg.unet)
+        save_params_npz(params, os.path.join(out_dir, "controlnet.npz"))
+
+
+def load_converted_params(out_dir: str) -> Dict[str, Any]:
+    loaded = {}
+    for fname in os.listdir(out_dir):
+        if fname.endswith(".npz"):
+            loaded[fname[:-4]] = load_params_npz(os.path.join(out_dir, fname))
+    return loaded
+
+
+def validate_structure(converted: Dict[str, Any], initialized: Dict[str, Any],
+                       name: str = "params"):
+    """Converted tree must match the model-init tree (paths + shapes)."""
+    a = _flatten(converted)
+    b = _flatten(initialized)
+    missing = sorted(set(map("/".join, b)) - set(map("/".join, a)))
+    extra = sorted(set(map("/".join, a)) - set(map("/".join, b)))
+    if missing or extra:
+        raise ValueError(f"{name}: structure mismatch\n"
+                         f"  missing ({len(missing)}): {missing[:8]}\n"
+                         f"  extra ({len(extra)}): {extra[:8]}")
+    for k in a:
+        if a[k].shape != b[k].shape:
+            raise ValueError(f"{name}: shape mismatch at {'/'.join(k)}: "
+                             f"{a[k].shape} vs {b[k].shape}")

@@ -40,15 +40,26 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in fp32, output cast back to input dtype."""
+    """GroupNorm computed in fp32, output cast back to input dtype.
+
+    All real SD channel counts are divisible by 32 (the diffusers
+    norm_num_groups); for tiny test configs we fall back to gcd(C, 32).
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
+        import math
         dtype = x.dtype
-        out = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
+        C = x.shape[-1]
+        groups = self.num_groups if C % self.num_groups == 0 \
+            else math.gcd(C, self.num_groups)
+        # keep group size >= 2: single-channel groups turn GroupNorm into
+        # InstanceNorm, which exactly cancels the resnet time-emb bias
+        groups = max(1, min(groups, C // 2))
+        out = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon,
                            dtype=jnp.float32, param_dtype=jnp.float32)(
                                x.astype(jnp.float32))
         return out.astype(dtype)

@@ -1,0 +1,216 @@
+"""Model bundle: instantiate + initialize the full SD stack for one version.
+
+The reference's constructor (/root/reference/elastic_diffusion.py:144-153)
+pulls diffusers/transformers modules from the HF hub. Here a ModelBundle
+holds the Flax modules + param pytrees, created either from a converted
+checkpoint directory (models/convert.py) or random-init (weightless
+environments / benchmarks — the compute graph is identical).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elasticdiffusion_tpu.configs import (
+    ControlNetConfig, ModelBundleConfig, RuntimeConfig, get_bundle_config,
+)
+from elasticdiffusion_tpu.models.clip import CLIPTextModel
+from elasticdiffusion_tpu.models.controlnet import ControlNet
+from elasticdiffusion_tpu.models.unet import UNet2DCondition
+from elasticdiffusion_tpu.models.vae import AutoencoderKL
+from elasticdiffusion_tpu.utils.tokenizer import CLIPTokenizer
+
+
+@dataclass
+class ModelBundle:
+    config: ModelBundleConfig
+    runtime: RuntimeConfig
+    unet: UNet2DCondition
+    unet_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    vae_fp32: Optional[AutoencoderKL]
+    text_models: Tuple[CLIPTextModel, ...]
+    text_params: Tuple[Any, ...]
+    tokenizers: Tuple[CLIPTokenizer, ...]
+    controlnet: Optional[ControlNet] = None
+    controlnet_params: Any = None
+
+    # -- model forwards (pure; pipeline jits around these) -----------------
+
+    def apply_unet(self, latent_nchw, t, context, added_text_embeds=None,
+                   added_time_ids=None, down_block_residuals=None,
+                   mid_block_residual=None):
+        return self.unet.apply(
+            {"params": self.unet_params}, latent_nchw, t, context,
+            added_text_embeds=added_text_embeds, added_time_ids=added_time_ids,
+            down_block_residuals=down_block_residuals,
+            mid_block_residual=mid_block_residual)
+
+    def apply_controlnet(self, latent_nchw, t, context, condition_nchw,
+                         conditioning_scale=1.0, added_text_embeds=None,
+                         added_time_ids=None):
+        assert self.controlnet is not None, "bundle has no ControlNet"
+        return self.controlnet.apply(
+            {"params": self.controlnet_params}, latent_nchw, t, context,
+            condition_nchw, conditioning_scale=conditioning_scale,
+            added_text_embeds=added_text_embeds, added_time_ids=added_time_ids)
+
+    def vae_decode(self, latents_nchw):
+        """Latents (already divided by scaling_factor) -> RGB in [-1,1].
+        fp32 when the config demands it (force_upcast contract,
+        /root/reference/elastic_diffusion.py:178-195, 1081-1088)."""
+        if self.config.vae.force_upcast and self.runtime.vae_decode_fp32 \
+                and self.vae_fp32 is not None:
+            p = jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params)
+            return self.vae_fp32.apply({"params": p}, latents_nchw.astype(jnp.float32),
+                                       method=AutoencoderKL.decode)
+        return self.vae.apply({"params": self.vae_params}, latents_nchw,
+                              method=AutoencoderKL.decode)
+
+    def vae_encode_sample(self, images_nchw, noise):
+        """Images in [-1,1] -> sampled latents (caller applies scaling_factor).
+        Always fp32: 'vae encoder is sensitive to precision'
+        (/root/reference/elastic_diffusion.py:328)."""
+        if self.vae_fp32 is not None:
+            p = jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params)
+            return self.vae_fp32.apply({"params": p},
+                                       images_nchw.astype(jnp.float32), noise,
+                                       method=AutoencoderKL.encode_sample)
+        return self.vae.apply({"params": self.vae_params}, images_nchw, noise,
+                              method=AutoencoderKL.encode_sample)
+
+    def encode_text(self, input_ids, encoder_id: int = 0):
+        return self.text_models[encoder_id].apply(
+            {"params": self.text_params[encoder_id]}, jnp.asarray(input_ids))
+
+    @property
+    def vae_scale_factor(self) -> int:
+        return self.config.vae.scale_factor
+
+    @property
+    def sample_size(self) -> int:
+        return self.config.unet.sample_size
+
+    @property
+    def in_channels(self) -> int:
+        return self.config.unet.in_channels
+
+
+def _init_unet(cfg: ModelBundleConfig, runtime: RuntimeConfig, key):
+    unet = UNet2DCondition(cfg.unet, dtype=runtime.compute_dtype,
+                           use_pallas=runtime.use_pallas,
+                           remat=runtime.remat_unet)
+    s = cfg.unet.sample_size
+    sample = jnp.zeros((1, cfg.unet.in_channels, s, s), runtime.compute_dtype)
+    ctx = jnp.zeros((1, 77, cfg.unet.cross_attention_dim), runtime.compute_dtype)
+    kwargs = {}
+    if cfg.unet.addition_embed_type == "text_time":
+        kwargs = {"added_text_embeds": jnp.zeros((1, cfg.unet.pooled_projection_dim)),
+                  "added_time_ids": jnp.zeros((1, 6))}
+    params = jax.jit(unet.init)(key, sample, jnp.zeros((1,)), ctx,
+                                 **kwargs)["params"]
+    return unet, params
+
+
+def _init_vae(cfg: ModelBundleConfig, runtime: RuntimeConfig, key):
+    vae = AutoencoderKL(cfg.vae, dtype=runtime.compute_dtype)
+    vae_fp32 = AutoencoderKL(cfg.vae, dtype=jnp.float32)
+    s = 8 * cfg.vae.scale_factor
+    img = jnp.zeros((1, cfg.vae.in_channels, s, s), runtime.compute_dtype)
+    noise = jnp.zeros((1, cfg.vae.latent_channels, 8, 8), jnp.float32)
+    params = jax.jit(vae.init)(key, img, noise)["params"]
+    return vae, vae_fp32, params
+
+
+def _init_text(cfg: ModelBundleConfig, runtime: RuntimeConfig, key):
+    models, params = [], []
+    for i, tc in enumerate(cfg.text_encoders):
+        m = CLIPTextModel(tc, dtype=runtime.compute_dtype)
+        p = jax.jit(m.init)(jax.random.fold_in(key, i),
+                   jnp.zeros((1, tc.max_position_embeddings), jnp.int32))["params"]
+        models.append(m)
+        params.append(p)
+    return tuple(models), tuple(params)
+
+
+def _cast_params(params, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        params)
+
+
+def load_bundle(sd_version: str, runtime: RuntimeConfig = RuntimeConfig(),
+                checkpoint_dir: Optional[str] = None,
+                controlnet_model: Optional[str] = None,
+                tokenizer_dirs: Optional[Tuple[Optional[str], ...]] = None,
+                seed: int = 0,
+                bundle_config: Optional[ModelBundleConfig] = None) -> ModelBundle:
+    """Build a ModelBundle.
+
+    checkpoint_dir: directory of converted params (models/convert.py); when
+    None, parameters are randomly initialized (weightless mode).
+    """
+    cfg = bundle_config or get_bundle_config(sd_version)
+    key = jax.random.PRNGKey(seed)
+    k_unet, k_vae, k_text, k_cn = jax.random.split(key, 4)
+
+    unet, unet_params = _init_unet(cfg, runtime, k_unet)
+    vae, vae_fp32, vae_params = _init_vae(cfg, runtime, k_vae)
+    text_models, text_params = _init_text(cfg, runtime, k_text)
+
+    controlnet = None
+    controlnet_params = None
+    if controlnet_model is not None:
+        cn_cfg = ControlNetConfig(unet=cfg.unet)
+        controlnet = ControlNet(cn_cfg, dtype=runtime.compute_dtype,
+                                use_pallas=runtime.use_pallas)
+        s = cfg.unet.sample_size
+        kwargs = {}
+        if cfg.unet.addition_embed_type == "text_time":
+            kwargs = {"added_text_embeds": jnp.zeros((1, cfg.unet.pooled_projection_dim)),
+                      "added_time_ids": jnp.zeros((1, 6))}
+        controlnet_params = jax.jit(controlnet.init)(
+            k_cn, jnp.zeros((1, cfg.unet.in_channels, s, s)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 77, cfg.unet.cross_attention_dim)),
+            jnp.zeros((1, 3, s * 8, s * 8)), **kwargs)["params"]
+
+    if checkpoint_dir is not None:
+        from elasticdiffusion_tpu.models.convert import load_converted_params
+        loaded = load_converted_params(checkpoint_dir)
+        unet_params = loaded.get("unet", unet_params)
+        vae_params = loaded.get("vae", vae_params)
+        text_params = tuple(loaded.get(f"text_encoder_{i}", text_params[i])
+                            for i in range(len(text_params)))
+        if controlnet is not None and "controlnet" in loaded:
+            controlnet_params = loaded["controlnet"]
+
+    # HBM-resident weights in the runtime param dtype (low_vram analog:
+    # bf16 + remat instead of CPU staging, SURVEY §7.1.7)
+    unet_params = _cast_params(unet_params, runtime.param_dtype)
+    text_params = tuple(_cast_params(p, runtime.param_dtype) for p in text_params)
+    # VAE params stay fp32 masters (decode may need fp32)
+    vae_params = _cast_params(vae_params, jnp.float32)
+    if controlnet_params is not None:
+        controlnet_params = _cast_params(controlnet_params, runtime.param_dtype)
+
+    if tokenizer_dirs is None:
+        tokenizer_dirs = tuple([None] * len(cfg.text_encoders))
+    tokenizers = []
+    for i, td in enumerate(tokenizer_dirs):
+        pad = 0 if (cfg.is_xl and i == 1) else None
+        tokenizers.append(CLIPTokenizer(vocab_dir=td, pad_token_id=pad,
+                                        vocab_size=cfg.text_encoders[i].vocab_size))
+
+    return ModelBundle(config=cfg, runtime=runtime, unet=unet,
+                       unet_params=unet_params, vae=vae, vae_params=vae_params,
+                       vae_fp32=vae_fp32, text_models=text_models,
+                       text_params=text_params, tokenizers=tuple(tokenizers),
+                       controlnet=controlnet, controlnet_params=controlnet_params)

@@ -1,0 +1,176 @@
+"""UNet2DCondition in Flax, covering SD1.x / SD2.x / SDXL from one config.
+
+Behavioral contract (SURVEY §2.4.2; consumed by the reference at
+/root/reference/elastic_diffusion.py:147, 393-432): epsilon-prediction UNet
+with config fields sample_size / in_channels and, for SDXL, 'text_time'
+added conditioning (pooled text embeds + 6 sinusoidal time-ids through
+add_embedding). Residual injection hooks for ControlNet
+(down_block_additional_residuals / mid_block_additional_residual,
+/root/reference/elastic_diffusion_w_controlnet.py:493-496) are first-class
+arguments.
+
+TPU-first: NHWC layout, bf16 matmuls with fp32 norms, optional per-block
+remat (`remat` flag — the memory analog of the reference's low_vram staging),
+Pallas attention via kernels/attention.py. Public call takes NCHW to match
+the pipeline/reference convention and transposes once at entry/exit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from elasticdiffusion_tpu.configs import UNetConfig
+from elasticdiffusion_tpu.models.layers import (
+    Downsample2D, GroupNorm32, ResnetBlock2D, TimestepEmbedding, Transformer2D,
+    Upsample2D, timestep_embedding,
+)
+
+
+class CrossAttnBlock(nn.Module):
+    """One (resnet, transformer) pair."""
+
+    out_channels: int
+    num_heads: int
+    depth: int
+    use_linear_projection: bool
+    dtype: jnp.dtype
+    use_pallas: str
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        x = ResnetBlock2D(self.out_channels, dtype=self.dtype, name="resnet")(x, temb)
+        x = Transformer2D(self.num_heads, self.out_channels // self.num_heads,
+                          depth=self.depth,
+                          use_linear_projection=self.use_linear_projection,
+                          dtype=self.dtype, use_pallas=self.use_pallas,
+                          name="attn")(x, context)
+        return x
+
+
+class UNet2DCondition(nn.Module):
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "auto"
+    remat: bool = False
+
+    def _maybe_remat(self, mod_cls):
+        if self.remat:
+            return nn.remat(mod_cls, static_argnums=())
+        return mod_cls
+
+    @nn.compact
+    def __call__(self, sample_nchw, timesteps, encoder_hidden_states,
+                 added_text_embeds=None, added_time_ids=None,
+                 down_block_residuals: Optional[Sequence[jnp.ndarray]] = None,
+                 mid_block_residual: Optional[jnp.ndarray] = None):
+        """sample_nchw: (B, C, H, W); timesteps: scalar or (B,);
+        encoder_hidden_states: (B, 77, ctx_dim). Returns eps (B, C, H, W)."""
+        cfg = self.config
+        x = jnp.transpose(sample_nchw, (0, 2, 3, 1)).astype(self.dtype)
+        B = x.shape[0]
+        if jnp.ndim(timesteps) == 0:
+            timesteps = jnp.broadcast_to(timesteps, (B,))
+        context = encoder_hidden_states.astype(self.dtype)
+
+        # --- time (+added) embedding ---
+        bo = cfg.block_out_channels
+        t_emb = timestep_embedding(timesteps, bo[0], cfg.flip_sin_to_cos,
+                                   cfg.freq_shift)
+        temb_dim = bo[0] * 4
+        emb = TimestepEmbedding(temb_dim, dtype=self.dtype,
+                                name="time_embedding")(t_emb.astype(self.dtype))
+        if cfg.addition_embed_type == "text_time":
+            assert added_text_embeds is not None and added_time_ids is not None, (
+                "SDXL requires added_cond (text_embeds, time_ids)")
+            # 6 time-ids -> per-id sinusoidal, flattened
+            # (diffusers flattens to (B, 6*addition_time_embed_dim))
+            tid = added_time_ids.reshape(-1)
+            tid_emb = timestep_embedding(tid, cfg.addition_time_embed_dim,
+                                         cfg.flip_sin_to_cos, cfg.freq_shift)
+            tid_emb = tid_emb.reshape(B, -1)
+            add_in = jnp.concatenate(
+                [added_text_embeds.astype(jnp.float32), tid_emb], axis=-1)
+            assert add_in.shape[-1] == cfg.projection_class_embeddings_input_dim, (
+                f"add-embed dim {add_in.shape[-1]} != "
+                f"{cfg.projection_class_embeddings_input_dim}")
+            emb = emb + TimestepEmbedding(temb_dim, dtype=self.dtype,
+                                          name="add_embedding")(
+                                              add_in.astype(self.dtype))
+
+        # --- down path ---
+        Res = self._maybe_remat(ResnetBlock2D)
+        CA = self._maybe_remat(CrossAttnBlock)
+
+        x = nn.Conv(bo[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv_in")(x)
+        residuals = [x]
+        n_blocks = len(bo)
+        for i in range(n_blocks):
+            for j in range(cfg.layers_per_block):
+                if cfg.down_block_has_attn[i]:
+                    x = CA(bo[i], cfg.heads_for_block(i),
+                           cfg.transformer_layers_per_block[i],
+                           cfg.use_linear_projection, self.dtype,
+                           self.use_pallas,
+                           name=f"down_{i}_{j}")(x, emb, context)
+                else:
+                    x = Res(bo[i], dtype=self.dtype,
+                            name=f"down_{i}_{j}_resnet")(x, emb)
+                residuals.append(x)
+            if i < n_blocks - 1:
+                x = Downsample2D(bo[i], dtype=self.dtype,
+                                 name=f"down_{i}_downsample")(x)
+                residuals.append(x)
+
+        # ControlNet residual injection (down)
+        if down_block_residuals is not None:
+            assert len(down_block_residuals) == len(residuals), (
+                f"expected {len(residuals)} down residuals, "
+                f"got {len(down_block_residuals)}")
+            residuals = [r + jnp.transpose(a, (0, 2, 3, 1)).astype(r.dtype)
+                         if a.ndim == 4 and a.shape[1] == r.shape[-1]
+                         else r + a.astype(r.dtype)
+                         for r, a in zip(residuals, down_block_residuals)]
+
+        # --- mid ---
+        x = Res(bo[-1], dtype=self.dtype, name="mid_resnet_0")(x, emb)
+        x = Transformer2D(cfg.heads_for_block(n_blocks - 1),
+                          bo[-1] // cfg.heads_for_block(n_blocks - 1),
+                          depth=cfg.transformer_layers_per_block[-1],
+                          use_linear_projection=cfg.use_linear_projection,
+                          dtype=self.dtype, use_pallas=self.use_pallas,
+                          name="mid_attn")(x, context)
+        x = Res(bo[-1], dtype=self.dtype, name="mid_resnet_1")(x, emb)
+        if mid_block_residual is not None:
+            a = mid_block_residual
+            if a.ndim == 4 and a.shape[1] == x.shape[-1]:
+                a = jnp.transpose(a, (0, 2, 3, 1))
+            x = x + a.astype(x.dtype)
+
+        # --- up path ---
+        for i in reversed(range(n_blocks)):
+            for j in range(cfg.layers_per_block + 1):
+                res = residuals.pop()
+                x = jnp.concatenate([x, res], axis=-1)
+                if cfg.down_block_has_attn[i]:
+                    x = CA(bo[i], cfg.heads_for_block(i),
+                           cfg.transformer_layers_per_block[i],
+                           cfg.use_linear_projection, self.dtype,
+                           self.use_pallas,
+                           name=f"up_{i}_{j}")(x, emb, context)
+                else:
+                    x = Res(bo[i], dtype=self.dtype,
+                            name=f"up_{i}_{j}_resnet")(x, emb)
+            if i > 0:
+                x = Upsample2D(bo[i], dtype=self.dtype,
+                               name=f"up_{i}_upsample")(x)
+
+        x = GroupNorm32(name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv_out")(x)
+        return jnp.transpose(x, (0, 3, 1, 2))

@@ -1,0 +1,166 @@
+"""Model-stack structural tests: shapes, determinism, conditioning hooks.
+
+(Golden-activation parity vs the PyTorch stack needs real checkpoints, which
+this zero-egress environment cannot fetch; the converter carries the mapping
+and these tests pin the graph structure it maps onto.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from toy_configs import make_toy_bundle, TOY_UNET, TOY_UNET_XL
+
+from elasticdiffusion_tpu.models.unet import UNet2DCondition
+from elasticdiffusion_tpu.models.vae import AutoencoderKL
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return make_toy_bundle(xl=False)
+
+
+@pytest.fixture(scope="module")
+def bundle_xl():
+    return make_toy_bundle(xl=True)
+
+
+def test_unet_shapes_and_determinism(bundle):
+    B, C, H, W = 2, 4, 8, 12
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, C, H, W))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 77, 16))
+    out1 = bundle.apply_unet(x, jnp.asarray(500.0), ctx)
+    out2 = bundle.apply_unet(x, jnp.asarray(500.0), ctx)
+    assert out1.shape == (B, C, H, W)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    # timestep changes the output
+    out3 = bundle.apply_unet(x, jnp.asarray(10.0), ctx)
+    assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 1e-6
+
+
+def test_unet_context_sensitivity(bundle):
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    c1 = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 16))
+    c2 = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 16))
+    o1 = bundle.apply_unet(x, jnp.asarray(500.0), c1)
+    o2 = bundle.apply_unet(x, jnp.asarray(500.0), c2)
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-6
+
+
+def test_unet_xl_added_cond(bundle_xl):
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 40))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (1, 24))
+    tids = jnp.asarray([[32., 32., 0., 0., 32., 32.]])
+    out = bundle_xl.apply_unet(x, jnp.asarray(500.0), ctx,
+                               added_text_embeds=pooled, added_time_ids=tids)
+    assert out.shape == x.shape
+    # time_ids must matter (micro-conditioning live)
+    out2 = bundle_xl.apply_unet(x, jnp.asarray(500.0), ctx,
+                                added_text_embeds=pooled,
+                                added_time_ids=tids * 2)
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-6
+    # missing added conds must fail loudly
+    with pytest.raises(AssertionError):
+        bundle_xl.apply_unet(x, jnp.asarray(500.0), ctx)
+
+
+def test_unet_residual_count_matches_controlnet(bundle):
+    """UNet down-residual count == ControlNet output count (injection contract,
+    /root/reference/elastic_diffusion_w_controlnet.py:493-496)."""
+    cfg = TOY_UNET
+    expected = 1 + len(cfg.block_out_channels) * cfg.layers_per_block \
+        + (len(cfg.block_out_channels) - 1)
+    b = make_toy_bundle(controlnet="canny")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 16))
+    cond = jnp.zeros((1, 3, 64, 64))  # 8x latent in pixels (toy vsf=2 -> 16; use 8*8)
+    down, mid = b.apply_controlnet(x, jnp.asarray(500.0), ctx, cond)
+    assert len(down) == expected
+    # zero-convs -> fresh ControlNet returns exactly zero residuals
+    assert all(float(jnp.abs(d).max()) == 0.0 for d in down)
+    assert float(jnp.abs(mid).max()) == 0.0
+    # injection runs and (with zero residuals) must not change the UNet output
+    base = b.apply_unet(x, jnp.asarray(500.0), ctx)
+    inj = b.apply_unet(x, jnp.asarray(500.0), ctx,
+                       down_block_residuals=down, mid_block_residual=mid)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(inj), atol=1e-6)
+
+
+def test_vae_roundtrip_shapes(bundle):
+    B = 1
+    img = jax.random.normal(jax.random.PRNGKey(0), (B, 3, 16, 24)) * 0.1
+    noise = jnp.zeros((B, 4, 8, 12))
+    z = bundle.vae_encode_sample(img, noise)
+    assert z.shape == (B, 4, 8, 12)  # toy scale factor 2
+    dec = bundle.vae_decode(z)
+    assert dec.shape == (B, 3, 16, 24)
+    # deterministic with fixed noise
+    z2 = bundle.vae_encode_sample(img, noise)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+
+
+def test_vae_encode_noise_injection(bundle):
+    img = jnp.zeros((1, 3, 16, 16))
+    z0 = bundle.vae_encode_sample(img, jnp.zeros((1, 4, 8, 8)))
+    z1 = bundle.vae_encode_sample(img, jnp.ones((1, 4, 8, 8)))
+    assert np.abs(np.asarray(z1) - np.asarray(z0)).max() > 0  # std > 0
+
+
+def test_clip_outputs(bundle):
+    ids = bundle.tokenizers[0](["a photo of a cat", ""])
+    assert ids.shape == (2, 77)
+    last, penult, pooled = bundle.encode_text(ids, 0)
+    assert last.shape == (2, 77, 16)
+    assert penult.shape == (2, 77, 16)
+    assert pooled.shape == (2, 16)
+    # penultimate != last (final layer + LN applied after)
+    assert np.abs(np.asarray(last) - np.asarray(penult)).max() > 1e-6
+
+
+def test_clip_projection_encoder(bundle_xl):
+    ids = bundle_xl.tokenizers[1](["a photo of a cat"])
+    last, penult, pooled = bundle_xl.encode_text(ids, 1)
+    assert pooled.shape == (1, 24)  # projected
+    assert last.shape == (1, 77, 24)
+
+
+def test_clip_causality(bundle):
+    """Changing a later token must not affect earlier positions (causal mask)."""
+    ids1 = bundle.tokenizers[0](["a cat sat"])
+    ids2 = ids1.copy()
+    ids2[0, 40] = 123  # mutate a padding-region token
+    _, p1, _ = bundle.encode_text(ids1, 0)
+    _, p2, _ = bundle.encode_text(ids2, 0)
+    np.testing.assert_allclose(np.asarray(p1)[0, :40], np.asarray(p2)[0, :40],
+                               atol=1e-6)
+    assert np.abs(np.asarray(p1)[0, 40:] - np.asarray(p2)[0, 40:]).max() > 1e-6
+
+
+def test_tokenizer_layout():
+    from elasticdiffusion_tpu.utils.tokenizer import CLIPTokenizer
+    tok = CLIPTokenizer(vocab_size=256)
+    ids = tok(["hello world"])
+    assert ids.shape == (1, 77)
+    assert ids[0, 0] == tok.bos_token_id
+    assert tok.eos_token_id in ids[0]
+    # deterministic
+    np.testing.assert_array_equal(ids, tok(["hello world"]))
+    # XL tokenizer_2 pads with 0
+    tok2 = CLIPTokenizer(vocab_size=256, pad_token_id=0)
+    assert tok2(["hi"])[0, -1] == 0
+
+
+def test_param_dtype_policy():
+    import jax.numpy as jnp
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from toy_configs import make_toy_bundle
+    rt = RuntimeConfig(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+                       use_pallas="off")
+    b = make_toy_bundle(runtime=rt)
+    leaf = jax.tree.leaves(b.unet_params)[0]
+    assert leaf.dtype == jnp.bfloat16
+    # VAE masters stay fp32
+    vleaf = jax.tree.leaves(b.vae_params)[0]
+    assert vleaf.dtype == jnp.float32
