@@ -1,0 +1,101 @@
+"""Condition preprocessors for the ControlNet path (SURVEY C21).
+
+Reference (/root/reference/elastic_diffusion_w_controlnet.py:1102-1117):
+  canny: cv2.Canny(img, 100, 200) -> 3-channel image
+  depth: transformers depth-estimation pipeline (DPT)
+
+This environment has no cv2; canny is implemented natively (3x3 Sobel, L1
+magnitude, 4-direction NMS, double-threshold hysteresis — cv2.Canny's
+default algorithm). Depth needs pretrained DPT weights: it is gated behind a
+local checkpoint/callable and raises a clear error otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def canny(image: np.ndarray, low: float = 100.0, high: float = 200.0) -> np.ndarray:
+    """cv2.Canny-equivalent edges. image: (H, W) or (H, W, 3) uint8/float.
+    Returns (H, W) uint8 edge map {0, 255}."""
+    img = np.asarray(image, dtype=np.float32)
+    if img.ndim == 3:
+        # cv2 BGR->gray weights; inputs here are RGB so use RGB weights
+        img = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+    H, W = img.shape
+    p = np.pad(img, 1, mode="edge")
+    # 3x3 Sobel
+    gx = (p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:]
+          - p[:-2, :-2] - 2 * p[1:-1, :-2] - p[2:, :-2])
+    gy = (p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:]
+          - p[:-2, :-2] - 2 * p[:-2, 1:-1] - p[:-2, 2:])
+    mag = np.abs(gx) + np.abs(gy)  # cv2 default L1
+
+    # non-maximum suppression over 4 quantized directions
+    angle = np.arctan2(gy, gx)
+    angle = np.rad2deg(angle) % 180
+    q = np.zeros_like(mag, dtype=np.int8)
+    q[(angle >= 22.5) & (angle < 67.5)] = 1    # diag /
+    q[(angle >= 67.5) & (angle < 112.5)] = 2   # vertical
+    q[(angle >= 112.5) & (angle < 157.5)] = 3  # diag \
+    mp = np.pad(mag, 1)
+    n1 = np.choose(q, [mp[1:-1, 2:], mp[:-2, 2:], mp[:-2, 1:-1], mp[:-2, :-2]])
+    n2 = np.choose(q, [mp[1:-1, :-2], mp[2:, :-2], mp[2:, 1:-1], mp[2:, 2:]])
+    keep = (mag >= n1) & (mag >= n2)
+
+    strong = keep & (mag > high)
+    weak = keep & (mag > low) & ~strong
+
+    # hysteresis: BFS from strong pixels through weak neighbors
+    edges = strong.copy()
+    stack = list(zip(*np.nonzero(strong)))
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    while stack:
+        y, x = stack.pop()
+        for dy, dx in offs:
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < H and 0 <= nx < W and weak[ny, nx] and not edges[ny, nx]:
+                edges[ny, nx] = True
+                stack.append((ny, nx))
+    return (edges * 255).astype(np.uint8)
+
+
+def process_condition_image(condition_image, controlnet_model: str,
+                            depth_fn: Optional[Callable] = None):
+    """(/root/reference/elastic_diffusion_w_controlnet.py:1102-1117)
+    condition_image: PIL.Image or (H, W, 3) array.
+    Returns a PIL 3-channel condition image."""
+    from PIL import Image
+    arr = np.asarray(condition_image)
+    if controlnet_model == "canny":
+        e = canny(arr, 100, 200)
+        return Image.fromarray(np.stack([e, e, e], axis=-1))
+    if controlnet_model == "depth":
+        if depth_fn is None:
+            raise RuntimeError(
+                "depth ControlNet needs a depth estimator: pass depth_fn "
+                "(image -> (H,W) depth array) or precompute the depth map; "
+                "pretrained DPT weights are not bundled in this environment")
+        d = np.asarray(depth_fn(condition_image), dtype=np.float32)
+        d = (255 * (d - d.min()) / max(d.max() - d.min(), 1e-8)).astype(np.uint8)
+        return Image.fromarray(np.stack([d, d, d], axis=-1))
+    raise ValueError(f"unknown controlnet_model {controlnet_model}")
+
+
+def prepare_image(image, width: int, height: int, batch_size: int = 1,
+                  do_classifier_free_guidance: bool = False) -> np.ndarray:
+    """VaeImageProcessor(do_normalize=False) analog
+    (/root/reference/elastic_diffusion_w_controlnet.py:1004-1033): resize to
+    (height, width), scale to [0,1], NCHW, repeat for batch/CFG."""
+    from PIL import Image
+    if not isinstance(image, Image.Image):
+        image = Image.fromarray(np.asarray(image))
+    image = image.convert("RGB").resize((width, height), Image.LANCZOS)
+    arr = np.asarray(image, dtype=np.float32) / 255.0
+    arr = arr.transpose(2, 0, 1)[None]
+    arr = np.repeat(arr, batch_size, axis=0)
+    if do_classifier_free_guidance:
+        arr = np.concatenate([arr, arr])
+    return arr

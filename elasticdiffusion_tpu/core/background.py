@@ -1,0 +1,139 @@
+"""Denoised-background padding (SURVEY C10).
+
+Reference behavior (/root/reference/elastic_diffusion.py:321-391): when a
+UNet input is smaller than the model's native latent size, it is padded with
+a VAE-encoded solid random color, forward-noised to the current timestep.
+The color/noise are deterministic per (side-id, H, W, t) via an md5-string
+seed; padding order is W first (ids '3_1'/'3_2'), then H over the already
+W-padded width (ids '2_1'/'2_2').
+
+TPU-first design: the reference re-encodes backgrounds inside the hot loop
+(and bounces the VAE between CPU/GPU in low_vram mode — its own TODO at
+:340). Here all backgrounds are precomputed once per generate() call for
+every (pad-shape, timestep) pair with a jitted VAE-encode, stacked as
+(T, C, ph, pw) arrays, and indexed inside the jitted step. Determinism comes
+from `jax.random.fold_in` on (side-id hash, t) instead of md5 seeding of a
+global RNG (SURVEY §7.1.5; documented deviation — parity harnesses inject
+recorded backgrounds).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def string_to_number(s: str, num_bytes: int = 4) -> int:
+    """md5-prefix hash, same construction as the reference
+    (/root/reference/elastic_diffusion.py:321-324)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:num_bytes * 2], 16)
+
+
+@dataclass(frozen=True)
+class PadSpec:
+    """Padding of one input shape up to the model minimum
+    (/root/reference/elastic_diffusion.py:398-411)."""
+
+    in_h: int
+    in_w: int
+    min_h: int
+    min_w: int
+
+    @property
+    def pads(self) -> Tuple[int, int, int, int]:
+        h_p = max(self.min_h - self.in_h, 0)
+        w_p = max(self.min_w - self.in_w, 0)
+        return (w_p // 2, w_p - w_p // 2, h_p // 2, h_p - h_p // 2)  # l, r, t, b
+
+    @property
+    def needs_padding(self) -> bool:
+        return any(p > 0 for p in self.pads)
+
+    @property
+    def out_shape(self) -> Tuple[int, int]:
+        l, r, t, b = self.pads
+        return (self.in_h + t + b, self.in_w + l + r)
+
+    def side_shapes(self) -> Dict[str, Tuple[int, int]]:
+        """Background rectangles in reference order: W pads at input height,
+        then H pads at padded width (id scheme '3_*' = W axis, '2_*' = H)."""
+        l, r, t, b = self.pads
+        out = {}
+        if l:
+            out["3_1"] = (self.in_h, l)
+        if r:
+            out["3_2"] = (self.in_h, r)
+        w_padded = self.in_w + l + r
+        if t:
+            out["2_1"] = (t, w_padded)
+        if b:
+            out["2_2"] = (b, w_padded)
+        return out
+
+
+def make_background_table(bundle, timesteps: np.ndarray, spec: PadSpec,
+                          base_key: jax.Array, scheduler) -> Dict[str, jnp.ndarray]:
+    """Precompute noised backgrounds for every (side, t) of one PadSpec.
+
+    Returns {side_id: (T, C, ph, pw)} float32 arrays.
+    """
+    tables: Dict[str, jnp.ndarray] = {}
+    vsf = bundle.vae_scale_factor
+    scaling = bundle.config.vae.scaling_factor
+    lat_ch = bundle.config.vae.latent_channels
+
+    @jax.jit
+    def encode_one(color, enc_noise):
+        img = 2.0 * color - 1.0  # torch.rand in [0,1] -> VAE input in [-1,1]
+        return bundle.vae_encode_sample(img, enc_noise) * scaling
+
+    for side, (ph, pw) in spec.side_shapes().items():
+        sid = string_to_number(f"{side}_{ph}_{pw}")
+        rows = []
+        for t in timesteps:
+            k = jax.random.fold_in(jax.random.fold_in(base_key, sid), int(t))
+            k_color, k_enc, k_noise = jax.random.split(k, 3)
+            color = jax.random.uniform(k_color, (1, 3, 1, 1))
+            color = jnp.broadcast_to(color, (1, 3, ph * vsf, pw * vsf))
+            enc_noise = jax.random.normal(k_enc, (1, lat_ch, ph, pw))
+            bg = encode_one(color, enc_noise)
+            noise = jax.random.normal(k_noise, bg.shape)
+            a, b = scheduler.add_noise_coeffs(int(t))
+            rows.append(a * bg + b * noise)
+        tables[side] = jnp.concatenate(rows, axis=0)  # (T, C, ph, pw)
+    return tables
+
+
+def pad_with_background(x: jnp.ndarray, spec: PadSpec,
+                        bgs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Pad (B, C, h, w) -> (B, C, out_h, out_w) with this step's backgrounds.
+
+    bgs: {side: (C, ph, pw)} for the CURRENT timestep (already indexed).
+    Reference semantics: each side uses the same background for the whole
+    batch (/root/reference/elastic_diffusion.py:382).
+    """
+    if not spec.needs_padding:
+        return x
+    B = x.shape[0]
+    rep = lambda a: jnp.broadcast_to(a[None], (B,) + a.shape).astype(x.dtype)
+    l, r, t, b = spec.pads
+    if l:
+        x = jnp.concatenate([rep(bgs["3_1"]), x], axis=3)
+    if r:
+        x = jnp.concatenate([x, rep(bgs["3_2"])], axis=3)
+    if t:
+        x = jnp.concatenate([rep(bgs["2_1"]), x], axis=2)
+    if b:
+        x = jnp.concatenate([x, rep(bgs["2_2"])], axis=2)
+    return x
+
+
+def crop_from_padding(x: jnp.ndarray, spec: PadSpec) -> jnp.ndarray:
+    l, r, t, b = spec.pads
+    H, W = x.shape[-2], x.shape[-1]
+    return x[..., t:H - b, l:W - r]

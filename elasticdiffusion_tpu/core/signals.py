@@ -1,0 +1,292 @@
+"""Signal estimators: the ElasticDiffusion algorithm as pure jittable functions.
+
+Reference behavior (SURVEY L5):
+  - unet_step (pad->UNet->crop)            /root/reference/elastic_diffusion.py:393-432
+  - obtain_latent_direction (CFG pair)     :434-443
+  - approximate_latent_direction_w_resampling :649-690
+  - compute_local_uncond_signal            :813-864
+  - reduced_resolution_guidance            :885-940 (autograd -> analytic)
+  - undo_step / repaint                    :692-704, 1038-1056
+
+TPU-first design notes:
+  - the resampling inner loop is a lax.fori_loop (true data dependence via
+    the exclude mask); its CFG pair is one batched UNet call
+  - the view loop is ONE batched UNet call over all views (shardable on the
+    'views' mesh axis) + owner-map writeback; view_batch_size survives only
+    as a lax.map memory knob
+  - RRG's autograd is replaced by the closed form
+    2*rrg_scale*(up(ref_x0) - x0)/numel (SURVEY §7.1.4)
+  - every random draw can be overridden by a ScriptedNoise pytree so parity
+    harnesses can inject recorded randomness through the REAL jitted path
+    (SURVEY §7.3.1)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elasticdiffusion_tpu.core.background import (
+    PadSpec, crop_from_padding, pad_with_background,
+)
+from elasticdiffusion_tpu.ops.resample import (
+    ResamplePlan, apply_resample, fill_in, mix_with_prev, sample_pick_indices,
+    update_exclude_mask,
+)
+from elasticdiffusion_tpu.ops.resize import nearest_resize
+from elasticdiffusion_tpu.ops.views import (
+    ViewPlan, gather_views, scatter_first_writer,
+)
+from elasticdiffusion_tpu.parallel.sharding import shard_views
+
+
+class ScriptedNoise(NamedTuple):
+    """Optional recorded randomness for parity testing. Any field may be None.
+
+    picks:  (rs+1, N) int32 — final per-substep block picks (overrides the
+            exclude/drop machinery entirely, like injecting the reference's
+            random_indices)
+    repaint:(n_micro, B, C, H, W) — repaint re-noising draws
+    """
+
+    picks: Optional[jnp.ndarray] = None
+    repaint: Optional[jnp.ndarray] = None
+
+
+@dataclass(frozen=True)
+class UNetCallConfig:
+    """Static context for one unet_step shape."""
+
+    pad_spec: PadSpec
+    is_xl: bool
+
+
+def unet_step(bundle, x, t, context, pad_spec: PadSpec, step_bgs,
+              add_text_embeds=None, add_time_ids=None,
+              controlnet_cond=None, controlnet_scale: float = 1.0):
+    """scale_model_input (identity) -> background pad -> UNet -> crop
+    (/root/reference/elastic_diffusion.py:393-432). x: (B', C, h, w)."""
+    x_in = pad_with_background(x, pad_spec, step_bgs)
+    kwargs = {}
+    if add_text_embeds is not None:
+        kwargs = {"added_text_embeds": add_text_embeds,
+                  "added_time_ids": add_time_ids}
+    if controlnet_cond is not None:
+        down, mid = bundle.apply_controlnet(
+            x_in, t, context, controlnet_cond,
+            conditioning_scale=controlnet_scale, **kwargs)
+        kwargs["down_block_residuals"] = down
+        kwargs["mid_block_residual"] = mid
+    eps = bundle.apply_unet(x_in, t, context, **kwargs)
+    return crop_from_padding(eps, pad_spec)
+
+
+def obtain_latent_direction(bundle, latent, t, text_embeds_cfg, pad_spec,
+                            step_bgs, add_text_embeds_cfg=None,
+                            add_time_ids=None, controlnet_cond=None,
+                            controlnet_scale: float = 1.0):
+    """CFG pair in one batched call (/root/reference/elastic_diffusion.py:434-443).
+
+    text_embeds_cfg: (2B, 77, D) stacked [uncond; cond].
+    Returns (direction, uncond_eps, cond_eps), all fp32.
+    """
+    B = latent.shape[0]
+    x2 = jnp.concatenate([latent, latent]).astype(bundle.runtime.compute_dtype)
+    cn = None
+    if controlnet_cond is not None:
+        cn = jnp.concatenate([controlnet_cond, controlnet_cond])
+    tid = None
+    if add_time_ids is not None:
+        tid = jnp.broadcast_to(add_time_ids, (2 * B,) + add_time_ids.shape[1:])
+    eps = unet_step(bundle, x2, t, text_embeds_cfg, pad_spec, step_bgs,
+                    add_text_embeds=add_text_embeds_cfg, add_time_ids=tid,
+                    controlnet_cond=cn, controlnet_scale=controlnet_scale)
+    eps = eps.astype(jnp.float32)
+    eps_u, eps_c = eps[:B], eps[B:]
+    return eps_c - eps_u, eps_u, eps_c
+
+
+class DirectionResult(NamedTuple):
+    direction: jnp.ndarray           # (B, C, H, W) fp32, fully filled
+    init_downsampled_latent: jnp.ndarray
+    downsampled_latent: jnp.ndarray  # last resampling substep's input
+    uncond_score: jnp.ndarray        # last substep's uncond eps (low-res)
+    downsampled_direction: jnp.ndarray  # nearest-downsample of final direction
+
+
+def approximate_latent_direction(bundle, latent, key, t, text_embeds_cfg,
+                                 plan: ResamplePlan, pad_spec: PadSpec,
+                                 step_bgs, resampling_steps: int, drop_p: float,
+                                 add_text_embeds_cfg=None, add_time_ids=None,
+                                 scripted_picks=None, controlnet_cond=None,
+                                 controlnet_scale: float = 1.0) -> DirectionResult:
+    """Global CFG direction with randomized resampling
+    (/root/reference/elastic_diffusion.py:649-690).
+
+    Substep 0 uses the deterministic nearest pick (fix_initial); later
+    substeps sample fresh sub-pixels avoiding the exclude mask and keep the
+    previous pick with probability drop_p. lax.fori_loop over substeps (true
+    sequential dependence), one CFG-batched UNet call per substep.
+    """
+    B, C, H, W = latent.shape
+    N = plan.num_blocks
+    n_sub = resampling_steps + 1
+    latent32 = latent.astype(jnp.float32)
+
+    if controlnet_cond is not None:
+        # condition prepared at downsampled size*8 (w_controlnet.py:1183-1193)
+        cond_lowres = nearest_resize(
+            controlnet_cond,
+            (pad_spec.out_shape[0] * bundle.vae_scale_factor,
+             pad_spec.out_shape[1] * bundle.vae_scale_factor))
+    else:
+        cond_lowres = None
+
+    def substep(s, carry):
+        target, filled, excl, prev, key, _, _, _, _ = carry
+        key, k_pick, k_drop = jax.random.split(key, 3)
+        if scripted_picks is not None:
+            pick = scripted_picks[s]
+        else:
+            new_pick = sample_pick_indices(k_pick, excl, N)
+            mixed = mix_with_prev(k_drop, new_pick, prev, drop_p)
+            pick = jnp.where(s == 0, jnp.zeros((N,), jnp.int32), mixed)
+        excl = update_exclude_mask(excl, pick)
+        down, mask = apply_resample(latent32, plan, pick)
+        direction, eps_u, _ = obtain_latent_direction(
+            bundle, down, t, text_embeds_cfg, pad_spec, step_bgs,
+            add_text_embeds_cfg=add_text_embeds_cfg, add_time_ids=add_time_ids,
+            controlnet_cond=cond_lowres, controlnet_scale=controlnet_scale)
+        target, filled = fill_in(target, filled, direction, mask, fill_all=False)
+        up = nearest_resize(direction, (H, W))
+        return (target, filled, excl, pick, key, down, eps_u, up,
+                jnp.where(s == 0, down, carry[8]))
+
+    carry0 = (jnp.zeros((B, C, H, W), jnp.float32),        # target
+              jnp.zeros((H, W), bool),                      # filled
+              jnp.zeros((N, 4), bool),                      # exclude mask
+              jnp.zeros((N,), jnp.int32),                   # prev pick
+              key,
+              jnp.zeros((B, C, plan.out_h, plan.out_w), jnp.float32),  # down
+              jnp.zeros((B, C, plan.out_h, plan.out_w), jnp.float32),  # eps_u
+              jnp.zeros((B, C, H, W), jnp.float32),         # last upsampled dir
+              jnp.zeros((B, C, plan.out_h, plan.out_w), jnp.float32))  # init down
+    target, filled, _, _, _, down, eps_u, up_last, init_down = jax.lax.fori_loop(
+        0, n_sub, substep, carry0)
+
+    # fill_all at the final substep (/root/reference/elastic_diffusion.py:681,
+    # 639-645): remaining unfilled positions take the last upsampled direction
+    target = jnp.where(filled, target, up_last)
+    down_dir = nearest_resize(target, (plan.out_h, plan.out_w))
+    return DirectionResult(direction=target, init_downsampled_latent=init_down,
+                           downsampled_latent=down, uncond_score=eps_u,
+                           downsampled_direction=down_dir)
+
+
+def compute_local_uncond_signal(bundle, latent, t, uncond_embeds, plan: ViewPlan,
+                                pad_spec: PadSpec, step_bgs,
+                                uncond_pooled=None, add_time_ids=None,
+                                view_batch_size: int = 0,
+                                mesh=None, controlnet_cond=None,
+                                controlnet_scale: float = 1.0):
+    """Local unconditional score over patch views
+    (/root/reference/elastic_diffusion.py:813-864).
+
+    One batched UNet call over all V views (optionally chunked with lax.map
+    as a memory knob, or sharded over the 'views' mesh axis).
+    """
+    B = latent.shape[0]
+    V = plan.num_views
+    views = gather_views(latent.astype(bundle.runtime.compute_dtype), plan)
+    vb = views.reshape((V * B,) + views.shape[2:])
+    ctx = jnp.tile(uncond_embeds, (V, 1, 1))
+    pooled = None if uncond_pooled is None else jnp.tile(uncond_pooled, (V, 1))
+    tid = None if add_time_ids is None else \
+        jnp.broadcast_to(add_time_ids, (V * B,) + add_time_ids.shape[1:])
+
+    cn_views = None
+    if controlnet_cond is not None:
+        # full-res condition cropped per view at 8x latent coords
+        # (w_controlnet.py:932-949): gather with the view plan scaled to pixels
+        vsf = bundle.vae_scale_factor
+        rows = (np.repeat(plan.rows * vsf, vsf, axis=1)
+                + np.tile(np.arange(vsf), plan.rows.shape[1]))
+        cols = (np.repeat(plan.cols * vsf, vsf, axis=1)
+                + np.tile(np.arange(vsf), plan.cols.shape[1]))
+        def one(r, c):
+            return controlnet_cond[:, :, r, :][:, :, :, c]
+        cnv = jax.vmap(one)(jnp.asarray(rows), jnp.asarray(cols))
+        cn_views = cnv.reshape((V * B,) + cnv.shape[2:])
+
+    def run(xs):
+        return unet_step(bundle, xs["x"], t, xs["ctx"], pad_spec, step_bgs,
+                         add_text_embeds=xs.get("pooled"),
+                         add_time_ids=xs.get("tid"),
+                         controlnet_cond=xs.get("cn"),
+                         controlnet_scale=controlnet_scale)
+
+    xs = {"x": vb, "ctx": ctx}
+    if pooled is not None:
+        xs["pooled"] = pooled
+    if tid is not None:
+        xs["tid"] = tid
+    if cn_views is not None:
+        xs["cn"] = cn_views
+
+    if view_batch_size and view_batch_size < V and V % view_batch_size == 0:
+        # memory knob: sequential chunks via lax.map (the reference's
+        # view_batch_size loop, elastic_diffusion.py:830-831)
+        n_chunks = V // view_batch_size
+        xs = {k: a.reshape((n_chunks, -1) + a.shape[1:]) for k, a in xs.items()}
+        preds = jax.lax.map(run, xs)
+        preds = preds.reshape((V * B,) + preds.shape[2:])
+    else:
+        # shard the whole view batch across the mesh in one call
+        xs = {k: shard_views(a, mesh) for k, a in xs.items()}
+        preds = run(xs)
+
+    preds = preds.reshape((V, B) + preds.shape[1:]).astype(jnp.float32)
+    preds = shard_views(preds, mesh)
+    return scatter_first_writer(preds, plan)
+
+
+def reduced_resolution_guidance(x0_full, downsampled_latent, uncond_score,
+                                downsampled_direction, guidance_scale,
+                                rrg_scale, ddim_coeffs):
+    """Analytic RRG gradient (/root/reference/elastic_diffusion.py:885-940;
+    SURVEY §7.1.4): low-res DDIM x0 from cached scores, nearest-upsampled,
+    pulled toward with d/dx0 [rrg_scale * MSE] sign-flipped:
+        cascade = 2 * rrg_scale * (up(ref_x0) - x0) / numel
+    """
+    noise_low = uncond_score + guidance_scale * downsampled_direction
+    _, ref_x0 = _ddim_from_coeffs(noise_low, downsampled_latent, ddim_coeffs)
+    ref_up = nearest_resize(ref_x0, (x0_full.shape[-2], x0_full.shape[-1]))
+    numel = x0_full.shape[1] * x0_full.shape[2] * x0_full.shape[3]
+    return 2.0 * rrg_scale * (ref_up - x0_full) / numel, ref_x0
+
+
+def _ddim_from_coeffs(model_output, sample, coeffs):
+    sa_t, s1a_t, sa_p, s1a_p = coeffs[0], coeffs[1], coeffs[2], coeffs[3]
+    x0 = (sample - s1a_t * model_output) / sa_t
+    prev = sa_p * x0 + s1a_p * model_output
+    return prev, x0
+
+
+def undo_step(sample, key, sqrt_1m_betas, sqrt_betas, scripted=None):
+    """Repaint re-noising (/root/reference/elastic_diffusion.py:692-704):
+    n sequential micro-steps with fresh noise each."""
+    n = sqrt_1m_betas.shape[0]
+
+    def body(i, carry):
+        x, key = carry
+        key, k = jax.random.split(key)
+        noise = scripted[i] if scripted is not None else \
+            jax.random.normal(k, x.shape, dtype=x.dtype)
+        return (sqrt_1m_betas[i] * x + sqrt_betas[i] * noise, key)
+
+    x, _ = jax.lax.fori_loop(0, n, body, (sample, key))
+    return x

@@ -56,9 +56,12 @@ class GroupNorm32(nn.Module):
         C = x.shape[-1]
         groups = self.num_groups if C % self.num_groups == 0 \
             else math.gcd(C, self.num_groups)
-        # keep group size >= 2: single-channel groups turn GroupNorm into
-        # InstanceNorm, which exactly cancels the resnet time-emb bias
-        groups = max(1, min(groups, C // 2))
+        # keep group size >= 4: single-channel groups turn GroupNorm into
+        # InstanceNorm (exactly cancels the resnet time-emb bias) and
+        # size-2 groups are numerically chaotic (var ~ eps => ~1/sqrt(eps)
+        # noise amplification, which breaks cross-compilation parity in tiny
+        # test models). Real SD channels always yield size >= 10 groups.
+        groups = max(1, min(groups, C // 4))
         out = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon,
                            dtype=jnp.float32, param_dtype=jnp.float32)(
                                x.astype(jnp.float32))
@@ -79,16 +82,21 @@ class TimestepEmbedding(nn.Module):
 
 
 class ResnetBlock2D(nn.Module):
-    """GN -> SiLU -> conv -> (+temb) -> GN -> SiLU -> conv -> +skip."""
+    """GN -> SiLU -> conv -> (+temb) -> GN -> SiLU -> conv -> +skip.
+
+    norm_eps: 1e-5 for UNet resnets, 1e-6 for VAE resnets (diffusers
+    resnet_eps convention).
+    """
 
     out_channels: int
     use_temb: bool = True
     dtype: jnp.dtype = jnp.float32
+    norm_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, temb=None):
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="norm1")(x)
+        h = GroupNorm32(epsilon=self.norm_eps, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv1")(h)
@@ -96,7 +104,7 @@ class ResnetBlock2D(nn.Module):
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = GroupNorm32(name="norm2")(h)
+        h = GroupNorm32(epsilon=self.norm_eps, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)

@@ -37,16 +37,16 @@ class Encoder(nn.Module):
                     name="conv_in")(x)
         for i, ch in enumerate(bo):
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock2D(ch, use_temb=False, dtype=self.dtype,
+                x = ResnetBlock2D(ch, use_temb=False, norm_eps=1e-6, dtype=self.dtype,
                                   name=f"down_{i}_{j}")(x)
             if i < len(bo) - 1:
                 # VAE downsample pads (0,1) per axis (diffusers Encoder)
                 x = Downsample2D(ch, pad=(0, 1), dtype=self.dtype,
                                  name=f"down_{i}_downsample")(x)
-        x = ResnetBlock2D(bo[-1], use_temb=False, dtype=self.dtype,
+        x = ResnetBlock2D(bo[-1], use_temb=False, norm_eps=1e-6, dtype=self.dtype,
                           name="mid_resnet_0")(x)
         x = VAEAttention(dtype=self.dtype, name="mid_attn")(x)
-        x = ResnetBlock2D(bo[-1], use_temb=False, dtype=self.dtype,
+        x = ResnetBlock2D(bo[-1], use_temb=False, norm_eps=1e-6, dtype=self.dtype,
                           name="mid_resnet_1")(x)
         x = GroupNorm32(epsilon=1e-6, name="conv_norm_out")(x)
         x = nn.silu(x)
@@ -55,23 +55,35 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
+    """Two-stage decoder: stage 'a' = conv_in + mid block (contains the
+    GLOBAL attention, runs at cheap latent resolution); stage 'b' = the
+    8x upsampling conv stack (finite receptive field). The split enables the
+    exact seam-free halo decode (parallel/halo_decode.py) that replaces the
+    reference's overlap-averaging tiled_decode
+    (/root/reference/elastic_diffusion.py:275-310, seams noted README.md:114).
+    """
+
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z):  # NHWC
+    def __call__(self, z, stage: str = "full"):  # NHWC
         cfg = self.config
         bo = list(reversed(cfg.block_out_channels))
-        x = nn.Conv(bo[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-                    name="conv_in")(z)
-        x = ResnetBlock2D(bo[0], use_temb=False, dtype=self.dtype,
-                          name="mid_resnet_0")(x)
-        x = VAEAttention(dtype=self.dtype, name="mid_attn")(x)
-        x = ResnetBlock2D(bo[0], use_temb=False, dtype=self.dtype,
-                          name="mid_resnet_1")(x)
+        x = z
+        if stage in ("full", "a"):
+            x = nn.Conv(bo[0], (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="conv_in")(x)
+            x = ResnetBlock2D(bo[0], use_temb=False, norm_eps=1e-6, dtype=self.dtype,
+                              name="mid_resnet_0")(x)
+            x = VAEAttention(dtype=self.dtype, name="mid_attn")(x)
+            x = ResnetBlock2D(bo[0], use_temb=False, norm_eps=1e-6, dtype=self.dtype,
+                              name="mid_resnet_1")(x)
+            if stage == "a":
+                return x
         for i, ch in enumerate(bo):
             for j in range(cfg.layers_per_block + 1):
-                x = ResnetBlock2D(ch, use_temb=False, dtype=self.dtype,
+                x = ResnetBlock2D(ch, use_temb=False, norm_eps=1e-6, dtype=self.dtype,
                                   name=f"up_{i}_{j}")(x)
             if i < len(bo) - 1:
                 x = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)
@@ -114,6 +126,19 @@ class AutoencoderKL(nn.Module):
         """(B,4,h,w) (already /scaling_factor) -> (B,3,8h,8w) in [-1,1]."""
         z = jnp.transpose(latents_nchw, (0, 2, 3, 1)).astype(self.dtype)
         img = self.decoder(self.post_quant_conv(z))
+        return jnp.transpose(img, (0, 3, 1, 2))
+
+    def decode_stage_a(self, latents_nchw):
+        """post_quant_conv + conv_in + mid (global attention) at latent res.
+        (B,4,h,w) -> (B,C_top,h,w) NCHW."""
+        z = jnp.transpose(latents_nchw, (0, 2, 3, 1)).astype(self.dtype)
+        h = self.decoder(self.post_quant_conv(z), stage="a")
+        return jnp.transpose(h, (0, 3, 1, 2))
+
+    def decode_stage_b(self, hidden_nchw):
+        """Finite-receptive-field upsampling stack. (B,C_top,h,w)->(B,3,8h,8w)."""
+        h = jnp.transpose(hidden_nchw, (0, 2, 3, 1)).astype(self.dtype)
+        img = self.decoder(h, stage="b")
         return jnp.transpose(img, (0, 3, 1, 2))
 
     def __call__(self, images_nchw, noise):

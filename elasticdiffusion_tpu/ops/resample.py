@@ -74,17 +74,24 @@ def keep_blocks(block_sz: int, n_remove: int) -> Tuple[np.ndarray, np.ndarray]:
 def _restore_row_of(n_kept: int, split_positions: np.ndarray) -> np.ndarray:
     """For each kept-grid line k, the original-grid line that the reference's
     restore_mask_shape assigns it to (/root/reference/elastic_diffusion.py:446-465):
-    pairs (i, i+1) merge into one line unless i is a recorded split position,
-    in which case each maps to its own line."""
+    pairs (i, i+1) merge into one line unless the SEQUENTIAL split pointer
+    matches i, in which case each maps to its own line.
+
+    Parity quirk preserved: the reference advances a pointer j by 2 on each
+    match against the raw (possibly duplicated) split array; duplicates can
+    desync the pointer so later legitimate splits are missed. We transcribe
+    that exact behavior — the mask is parity-critical (it selects which
+    pixels receive fresh directions)."""
     row_of = np.zeros(n_kept, dtype=np.int64)
-    splits = set(int(s) for s in split_positions)
-    i, out = 0, 0
+    A = [int(s) for s in split_positions]
+    i, j, out = 0, 0, 0
     while i < n_kept:
-        if i in splits:
+        if j < len(A) and i == A[j]:
             row_of[i] = out
             if i + 1 < n_kept:
                 row_of[i + 1] = out + 1
             out += 2
+            j += 2
         else:
             row_of[i] = out
             if i + 1 < n_kept:
@@ -116,20 +123,30 @@ def _axis_plan(in_size: int, out_size: int, split_plan_size: int):
     kept = (np.arange(0, blocks_extent, block_sz)[:, None] + offsets).ravel()
     kept = kept[kept < in_size * 2]
     remain = out_size * 2 - len(kept)
-    assert remain >= 0 and blocks_extent + remain <= in_size * 2, (
-        f"axis plan out of range: in={in_size} out={out_size}")
-    kept = np.concatenate([kept, np.arange(blocks_extent, blocks_extent + remain)])
-    assert len(kept) == out_size * 2
+    # Reference quirk preserved (/root/reference/elastic_diffusion.py:610-613):
+    # when the keep plan over/undershoots (get_keep_blocks interval overflow,
+    # tail truncation at the array end), torch's forgiving slicing just
+    # produces a DIFFERENT number of kept lines — the effective downsample
+    # size shrinks or grows. 50 of the reachable (H, downsample) ratios hit
+    # this; we reproduce it exactly via the effective length.
+    tail = np.arange(blocks_extent,
+                     min(blocks_extent + max(remain, 0), in_size * 2))
+    kept = np.concatenate([kept, tail])
+    assert len(kept) % 2 == 0, (
+        f"odd effective keep count for in={in_size} out={out_size}: the "
+        f"reference itself crashes on this shape (restore_mask_shape OOB)")
     src_map = kept // 2  # compose with the nearest 2x upsample
 
     # reference-exact mask restore positions: splits recorded at
     # arange(0, out*2, n_keep) + masked_blocks (elastic_diffusion.py:591-593)
+    # (computed from the REQUESTED out size even when the effective length
+    # differs — the reference builds them the same way)
     if len(masked_blocks):
         split_positions = (np.arange(0, out_size * 2, n_keep)[:, None]
                            + masked_blocks).ravel()
     else:
         split_positions = np.asarray([], dtype=np.int64)
-    mask_line_of = _restore_row_of(out_size * 2, split_positions)
+    mask_line_of = _restore_row_of(len(kept), split_positions)
     # lines whose restore position falls beyond the original extent are
     # dropped by the reference's shape-pad (elastic_diffusion.py:625-628);
     # mark them to scatter into a discard slot
@@ -139,12 +156,19 @@ def _axis_plan(in_size: int, out_size: int, split_plan_size: int):
 
 @dataclass(frozen=True)
 class ResamplePlan:
-    """Static plan for one (latent HxW -> downsample hxw) resolution pair."""
+    """Static plan for one (latent HxW -> downsample hxw) resolution pair.
+
+    out_h/out_w are the EFFECTIVE sizes (which can differ from the requested
+    downsample size at awkward ratios — see the quirk note in _axis_plan);
+    requested_* record what was asked for.
+    """
 
     in_h: int
     in_w: int
     out_h: int
     out_w: int
+    requested_h: int
+    requested_w: int
     row_src: np.ndarray        # (2*out_h,) source latent row per kept line
     col_src: np.ndarray        # (2*out_w,)
     row_mask_of: np.ndarray    # (2*out_h,) restore row (in_h = discard slot)
@@ -158,7 +182,9 @@ class ResamplePlan:
 def build_resample_plan(in_h: int, in_w: int, out_h: int, out_w: int) -> ResamplePlan:
     row_src, row_mask_of = _axis_plan(in_h, out_h, out_h * 2)
     col_src, col_mask_of = _axis_plan(in_w, out_w, out_w * 2)
-    return ResamplePlan(in_h=in_h, in_w=in_w, out_h=out_h, out_w=out_w,
+    return ResamplePlan(in_h=in_h, in_w=in_w,
+                        out_h=len(row_src) // 2, out_w=len(col_src) // 2,
+                        requested_h=out_h, requested_w=out_w,
                         row_src=row_src, col_src=col_src,
                         row_mask_of=row_mask_of, col_mask_of=col_mask_of)
 

@@ -1,0 +1,74 @@
+"""Mesh + sharding helpers (SURVEY §2.3, §5 'distributed backend').
+
+The reference is single-process single-GPU; its only 'parallelism' is the
+host-side view_batch_size micro-batch loop. The TPU-native equivalent:
+a `jax.sharding.Mesh` over ('data', 'views') where
+
+  - the prompt batch shards over 'data'
+  - the patch-view axis (the spatial analog of sequence parallelism) shards
+    over 'views': the batched per-view UNet call is annotated so XLA SPMD
+    splits it across chips and the owner-map writeback runs on the gathered
+    result (collectives ride ICI, inserted by XLA)
+  - weights are replicated (SD-scale fits per chip in bf16)
+
+No NCCL/MPI analog is needed: XLA emits all collectives (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Tuple[int, ...] = (1, 1),
+              axis_names: Tuple[str, ...] = ("data", "views"),
+              devices: Optional[Sequence[jax.Device]] = None) -> Optional[Mesh]:
+    """Build a mesh over the available devices; None for single-device."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = int(np.prod(shape))
+    if n <= 1:
+        return None
+    if n > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, "
+                         f"have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev, axis_names)
+
+
+def auto_mesh_shape(num_devices: int) -> Tuple[int, int]:
+    """Default policy: give every chip to the views axis (the dominant
+    fan-out), keep data=1 unless the caller overrides."""
+    return (1, num_devices)
+
+
+def replicated(mesh: Optional[Mesh]):
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P())
+
+
+def shard_views(x, mesh: Optional[Mesh]):
+    """Constrain the leading (views) axis to shard over the 'views' mesh axis."""
+    if mesh is None or "views" not in mesh.axis_names:
+        return x
+    spec = P("views") if x.shape[0] % mesh.shape["views"] == 0 else P()
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def shard_batch(x, mesh: Optional[Mesh]):
+    """Constrain the leading (batch) axis over 'data'."""
+    if mesh is None or "data" not in mesh.axis_names:
+        return x
+    spec = P("data") if x.shape[0] % mesh.shape["data"] == 0 else P()
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def put_replicated(tree, mesh: Optional[Mesh]):
+    """Place a pytree fully replicated on the mesh (weights)."""
+    if mesh is None:
+        return tree
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

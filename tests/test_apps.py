@@ -1,0 +1,110 @@
+"""App-layer tests: CLI flag surface, preprocessors, PCA tool."""
+
+import numpy as np
+import pytest
+
+
+def test_cli_flags_match_reference():
+    """Every reference flag must exist (SURVEY Appendix A CLI list)."""
+    from elasticdiffusion_tpu.apps.cli import build_parser
+    ref_flags = ["--prompt", "--negative", "--sd_version", "--H", "--W",
+                 "--low_vram", "--seed", "--steps", "--num_sampled",
+                 "--guidance_scale", "--cosine_scale", "--rrg_scale",
+                 "--resampling_steps", "--new_p", "--rrg_stop_t",
+                 "--view_batch_size", "--outdir", "--make_grid",
+                 "--repaint_sampling", "--tiled_decoder", "--exp", "--tag",
+                 "--log_freq", "--verbose"]
+    p = build_parser()
+    opts = {a for action in p._actions for a in action.option_strings}
+    missing = [f for f in ref_flags if f not in opts]
+    assert not missing, f"missing reference flags: {missing}"
+    # controlnet extras (w_controlnet.py:1355-1357)
+    pc = build_parser(controlnet=True)
+    optsc = {a for action in pc._actions for a in action.option_strings}
+    for f in ["--controlnet_conditioning_scale", "--condition_image",
+              "--controlnet_model"]:
+        assert f in optsc
+
+
+def test_cli_defaults_match_reference():
+    from elasticdiffusion_tpu.apps.cli import build_parser
+    opt = build_parser().parse_args([])
+    assert opt.sd_version == "XL1.0" and opt.H == 2048 and opt.W == 2048
+    assert opt.steps == 50 and opt.guidance_scale == 10.0
+    assert opt.cosine_scale == 10.0 and opt.rrg_scale == 4000
+    assert opt.resampling_steps == 10 and opt.new_p == 0.3
+    assert opt.rrg_stop_t == 0.2 and opt.view_batch_size == 16
+    assert opt.repaint_sampling is True and opt.tiled_decoder is False
+    # boolean flags actually parse (reference footgun fixed, App. B.9)
+    opt2 = build_parser().parse_args(["--repaint_sampling", "false"])
+    assert opt2.repaint_sampling is False
+
+
+def test_canny_edges():
+    from elasticdiffusion_tpu.apps.preprocessors import canny
+    img = np.zeros((32, 32), np.uint8)
+    img[:, 16:] = 255  # vertical step edge
+    e = canny(img, 100, 200)
+    assert e.dtype == np.uint8 and set(np.unique(e)) <= {0, 255}
+    # edge detected near column 16, nowhere else
+    cols = np.nonzero(e.any(axis=0))[0]
+    assert len(cols) > 0 and all(14 <= c <= 17 for c in cols)
+    # flat image -> no edges
+    assert canny(np.full((16, 16), 128, np.uint8)).sum() == 0
+
+
+def test_process_condition_image():
+    from elasticdiffusion_tpu.apps.preprocessors import process_condition_image
+    rgb = (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8)
+    out = process_condition_image(rgb, "canny")
+    assert out.size == (32, 32)
+    with pytest.raises(RuntimeError):
+        process_condition_image(rgb, "depth")
+    # depth with an injected estimator works
+    out2 = process_condition_image(rgb, "depth",
+                                   depth_fn=lambda im: np.asarray(im)[..., 0])
+    assert out2.size == (32, 32)
+
+
+def test_prepare_image():
+    from elasticdiffusion_tpu.apps.preprocessors import prepare_image
+    rgb = (np.random.default_rng(0).random((20, 30, 3)) * 255).astype(np.uint8)
+    out = prepare_image(rgb, width=16, height=24, batch_size=2,
+                        do_classifier_free_guidance=True)
+    assert out.shape == (4, 3, 24, 16)
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_pca_to_rgb():
+    from elasticdiffusion_tpu.apps.pca_scores import pca_to_rgb
+    x = np.random.default_rng(0).standard_normal((2, 4, 8, 8)).astype(np.float32)
+    rgb = pca_to_rgb(x)
+    assert rgb.shape == (2, 3, 8, 8)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+
+
+def test_vanilla_ldm_toy():
+    from toy_configs import make_toy_bundle
+    from elasticdiffusion_tpu.apps.pca_scores import VanillaLDM, memory_stats
+    ldm = VanillaLDM(bundle=make_toy_bundle(), log_freq=1)
+    img, logs = ldm.generate_image("a cat", height=16, width=16,
+                                   num_inference_steps=2, seed=0)
+    assert img.shape == (1, 3, 16, 16)
+    assert len(logs["direction_pca"]) == 2
+    assert logs["direction_pca"][0].shape == (1, 3, 8, 8)
+    memory_stats()  # must not raise
+
+
+def test_gradio_apps_gated():
+    """Without gradio installed, building the app raises a clear error."""
+    from elasticdiffusion_tpu.apps import gradio_app, gradio_img2img
+    try:
+        import gradio  # noqa: F401
+        pytest.skip("gradio installed; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="gradio"):
+        gradio_app.build_app()
+    with pytest.raises(RuntimeError, match="gradio"):
+        gradio_img2img.build_app()
+    assert len(gradio_app.EXAMPLES) >= 7  # golden config table present

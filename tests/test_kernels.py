@@ -1,0 +1,69 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from elasticdiffusion_tpu.kernels.attention import (
+    dot_product_attention, reference_attention,
+)
+
+
+def _flash_interpret(q, k, v, block_q=128, block_k=128):
+    """Run the flash kernel in interpreter mode for CPU testing.
+    (pltpu.force_tpu_interpret_mode would initialize the TPU backend even
+    under JAX_PLATFORMS=cpu in this environment; the pallas_call interpret
+    flag does not.)"""
+    from elasticdiffusion_tpu.kernels import flash_attention as fa
+    return fa.flash_attention(q, k, v, block_q=block_q, block_k=block_k,
+                              interpret=True)
+
+
+@pytest.mark.parametrize("B,Sq,Sk,H,D", [
+    (1, 256, 256, 2, 64),
+    (2, 512, 512, 1, 64),
+    (1, 256, 512, 2, 64),   # cross shapes
+    (1, 384, 384, 1, 64),   # non-power-of-two seq (block shrink path)
+])
+def test_flash_matches_reference(B, Sq, Sk, H, D):
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (B, Sq, H, D), jnp.float32)
+    k = jax.random.normal(kk, (B, Sk, H, D), jnp.float32)
+    v = jax.random.normal(kv, (B, Sk, H, D), jnp.float32)
+    want = reference_attention(q, k, v)
+    got = _flash_interpret(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16():
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(kq, (1, 256, 2, 64), jnp.bfloat16)
+    k = jax.random.normal(kk, (1, 256, 2, 64), jnp.bfloat16)
+    v = jax.random.normal(kv, (1, 256, 2, 64), jnp.bfloat16)
+    want = reference_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                               v.astype(jnp.float32))
+    got = _flash_interpret(q, k, v).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_dispatch_gates():
+    """Small/causal/odd-dim shapes must use the XLA path without error."""
+    kq = jax.random.PRNGKey(0)
+    q = jax.random.normal(kq, (1, 77, 2, 40))
+    out = dot_product_attention(q, q, q, use_pallas="auto")
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(reference_attention(q, q, q)),
+                               atol=1e-6)
+    out_c = dot_product_attention(q, q, q, causal=True)
+    assert out_c.shape == q.shape
+
+
+def test_reference_attention_causality():
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 1, 16))
+    out = reference_attention(q, q, q, causal=True)
+    # position 0 attends only to itself -> equals v[0]
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0],
+                               np.asarray(q)[0, 0, 0], atol=1e-6)

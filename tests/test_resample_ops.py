@@ -28,6 +28,9 @@ SHAPE_PAIRS = [
     ((96, 96), (64, 64)),     # SD 768x768
     ((64, 64), (64, 64)),     # native size (identity resample)
     ((100, 76), (52, 40)),    # awkward rationals
+    ((16, 24), (5, 8)),       # odd target; duplicate split positions hit the
+                              # reference's restore pointer-desync quirk
+    ((134, 128), (64, 64)),   # effective-size shrink quirk (67->64 per axis)
 ]
 
 

@@ -1,0 +1,69 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY §4.5):
+sharding-invariance of the local signal and the full step, plus the driver
+entry points."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from toy_configs import make_toy_bundle
+
+from elasticdiffusion_tpu.configs import RuntimeConfig
+from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+from elasticdiffusion_tpu.parallel.sharding import make_mesh
+
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@requires_8
+def test_mesh_construction():
+    mesh = make_mesh((1, 8))
+    assert mesh.shape == {"data": 1, "views": 8}
+    mesh2 = make_mesh((2, 4))
+    assert mesh2.shape == {"data": 2, "views": 4}
+    assert make_mesh((1, 1)) is None
+
+
+@requires_8
+def test_sharding_invariance_full_step():
+    """Same seed => same output on 1 device and on an 8-device mesh."""
+    import jax.numpy as jnp
+    rt1 = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                        use_pallas="off", mesh_shape=(1, 1))
+    rt8 = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                        use_pallas="off", mesh_shape=(1, 8))
+    kw = dict(height=32, width=48, num_inference_steps=2, resampling_steps=1,
+              repaint_sampling=True, rrg_init_weight=1000, rrg_stop_t=0.0,
+              return_arrays=True)
+
+    p1 = ElasticDiffusion(bundle=make_toy_bundle(runtime=rt1), runtime=rt1)
+    p1.seed_everything(7)
+    a, _ = p1.generate_image("a cat", **kw)
+
+    p8 = ElasticDiffusion(bundle=make_toy_bundle(runtime=rt8), runtime=rt8)
+    assert p8.mesh is not None
+    p8.seed_everything(7)
+    b, _ = p8.generate_image("a cat", **kw)
+
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+
+@requires_8
+def test_dryrun_multichip():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out, key, aux = jax.jit(fn)(*args)
+    assert out.shape == args[0].shape
+    assert bool(jnp.isfinite(out).all())
