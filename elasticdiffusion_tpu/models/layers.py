@@ -39,6 +39,33 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
     return emb
 
 
+class _ManualGroupNorm(nn.Module):
+    """GroupNorm written as plain jnp ops.
+
+    flax's nn.GroupNorm compiles pathologically slowly on this TPU stack
+    (~20 s per instance vs 0.6 s for the equivalent manual formula; an SD
+    UNet has ~60 GroupNorms, turning one forward-compile into ~40 minutes).
+    Semantics identical: var = E[x^2] - E[x]^2 over (spatial, group chans).
+    Param names (scale/bias) match nn.GroupNorm for converter compatibility.
+    """
+
+    num_groups: int
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x32):
+        C = x32.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        B = x32.shape[0]
+        g = self.num_groups
+        xg = x32.reshape(B, -1, g, C // g)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.mean(xg * xg, axis=(1, 3), keepdims=True) - mean * mean
+        out = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return out.reshape(x32.shape) * scale + bias
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm computed in fp32, output cast back to input dtype.
 
@@ -62,9 +89,8 @@ class GroupNorm32(nn.Module):
         # noise amplification, which breaks cross-compilation parity in tiny
         # test models). Real SD channels always yield size >= 10 groups.
         groups = max(1, min(groups, C // 4))
-        out = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon,
-                           dtype=jnp.float32, param_dtype=jnp.float32)(
-                               x.astype(jnp.float32))
+        out = _ManualGroupNorm(groups, self.epsilon, name="GroupNorm_0")(
+            x.astype(jnp.float32))
         return out.astype(dtype)
 
 

@@ -43,6 +43,15 @@ class ModelBundle:
     controlnet_params: Any = None
 
     # -- model forwards (pure; pipeline jits around these) -----------------
+    # Top-level entry points are also jit-wrapped for EAGER callers: on the
+    # axon TPU platform every un-jitted op is a separate remote compile, so
+    # eager CLIP/VAE forwards would take minutes.
+
+    def _jit(self, name, fn):
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if name not in cache:
+            cache[name] = jax.jit(fn)
+        return cache[name]
 
     def apply_unet(self, latent_nchw, t, context, added_text_embeds=None,
                    added_time_ids=None, down_block_residuals=None,
@@ -68,27 +77,37 @@ class ModelBundle:
         /root/reference/elastic_diffusion.py:178-195, 1081-1088)."""
         if self.config.vae.force_upcast and self.runtime.vae_decode_fp32 \
                 and self.vae_fp32 is not None:
-            p = jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params)
-            return self.vae_fp32.apply({"params": p}, latents_nchw.astype(jnp.float32),
-                                       method=AutoencoderKL.decode)
-        return self.vae.apply({"params": self.vae_params}, latents_nchw,
-                              method=AutoencoderKL.decode)
+            def f(params, lat):
+                p = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+                return self.vae_fp32.apply({"params": p},
+                                           lat.astype(jnp.float32),
+                                           method=AutoencoderKL.decode)
+            return self._jit("vae_decode_fp32", f)(self.vae_params, latents_nchw)
+        return self._jit("vae_decode", lambda params, lat: self.vae.apply(
+            {"params": params}, lat, method=AutoencoderKL.decode))(
+                self.vae_params, latents_nchw)
 
     def vae_encode_sample(self, images_nchw, noise):
         """Images in [-1,1] -> sampled latents (caller applies scaling_factor).
         Always fp32: 'vae encoder is sensitive to precision'
         (/root/reference/elastic_diffusion.py:328)."""
         if self.vae_fp32 is not None:
-            p = jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params)
-            return self.vae_fp32.apply({"params": p},
-                                       images_nchw.astype(jnp.float32), noise,
-                                       method=AutoencoderKL.encode_sample)
-        return self.vae.apply({"params": self.vae_params}, images_nchw, noise,
-                              method=AutoencoderKL.encode_sample)
+            def f(params, img, nz):
+                p = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+                return self.vae_fp32.apply({"params": p},
+                                           img.astype(jnp.float32), nz,
+                                           method=AutoencoderKL.encode_sample)
+            return self._jit("vae_encode_fp32", f)(self.vae_params,
+                                                   images_nchw, noise)
+        return self._jit("vae_encode", lambda params, img, nz: self.vae.apply(
+            {"params": params}, img, nz, method=AutoencoderKL.encode_sample))(
+                self.vae_params, images_nchw, noise)
 
     def encode_text(self, input_ids, encoder_id: int = 0):
-        return self.text_models[encoder_id].apply(
-            {"params": self.text_params[encoder_id]}, jnp.asarray(input_ids))
+        m = self.text_models[encoder_id]
+        return self._jit(f"text_{encoder_id}",
+                         lambda params, ids: m.apply({"params": params}, ids))(
+                             self.text_params[encoder_id], jnp.asarray(input_ids))
 
     @property
     def vae_scale_factor(self) -> int:

@@ -67,3 +67,36 @@ def test_reference_attention_causality():
     # position 0 attends only to itself -> equals v[0]
     np.testing.assert_allclose(np.asarray(out)[0, 0, 0],
                                np.asarray(q)[0, 0, 0], atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,groups,silu", [
+    ((2, 8, 8, 64), 32, False),
+    ((1, 16, 16, 128), 32, True),
+    ((1, 8, 12, 96), 32, True),   # C not a multiple of 128 lanes
+])
+def test_fused_groupnorm_matches_reference(shape, groups, silu):
+    from elasticdiffusion_tpu.kernels.groupnorm import (
+        fused_group_norm, reference_group_norm,
+    )
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, shape, jnp.float32)
+    scale = jax.random.normal(k2, (shape[-1],)) * 0.5 + 1.0
+    bias = jax.random.normal(k3, (shape[-1],)) * 0.2
+    want = reference_group_norm(x, scale, bias, groups, silu=silu)
+    got = fused_group_norm(x, scale, bias, groups, silu=silu, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_groupnorm_chunked_rows():
+    """Row chunking path (large H*W) must give identical stats."""
+    from elasticdiffusion_tpu.kernels.groupnorm import (
+        fused_group_norm, reference_group_norm,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 128), jnp.float32)
+    scale = jnp.ones((128,))
+    bias = jnp.zeros((128,))
+    want = reference_group_norm(x, scale, bias, 32, silu=True)
+    got = fused_group_norm(x, scale, bias, 32, silu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
