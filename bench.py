@@ -68,18 +68,40 @@ def micro_bench(pipe, height, width, rs, n_measure):
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (batch, b.in_channels, s, s), b.runtime.compute_dtype)
 
-    fwd = jax.jit(lambda x_, t: b.apply_unet(x_, t, ctx, **kwargs))
+    # segmented execution: this environment's remote XLA compile service
+    # cannot compile full-SD single programs (see models/unet.py); the
+    # per-block chain is the production execution mode at SD scale.
+    segmented = os.environ.get("ED_BENCH_SEGMENTED", "1") == "1"
+    if segmented:
+        fwd = lambda x_, t: b.apply_unet_segmented(x_, t, ctx, **kwargs)
+    else:
+        fwd = jax.jit(lambda x_, t: b.apply_unet(x_, t, ctx, **kwargs))
     t0 = time.time()
     out = fwd(x, jnp.float32(500.0))
     out.block_until_ready()
     compile_s = time.time() - t0
+    _log(f"unet forward compiled ({compile_s:.0f}s, segmented={segmented})")
 
+    # block_until_ready on this tunnel backend does not wait for device
+    # execution; synchronize with a 1-element device->host fetch and subtract
+    # the measured bare roundtrip. Chain length kept at 2 (HBM headroom).
+    def sync(a):
+        return float(a[0, 0, 0, 0])
+    sync(out)  # settle warmup
+    t0 = time.time()
+    for _ in range(4):
+        sync(out)
+    roundtrip = (time.time() - t0) / 4
+    K = int(os.environ.get("ED_BENCH_CHAIN", "1"))
     times = []
-    for i in range(n_measure):
+    for i in range(max(3, n_measure)):
         t0 = time.time()
-        out = fwd(out * 0.99, jnp.float32(500.0 - i))
-        out.block_until_ready()
-        times.append(time.time() - t0)
+        o = out
+        for k in range(K):
+            o = fwd(o * 0.999, jnp.float32(500.0 - k))
+        sync(o)
+        times.append(max((time.time() - t0 - roundtrip) / K, 1e-9))
+    _log(f"roundtrip={roundtrip*1e3:.1f}ms per_call={min(times)*1e3:.1f}ms")
     per_fwd = min(times) / batch
     return per_fwd, V, compile_s
 

@@ -168,6 +168,9 @@ class ControlNetConfig:
     unet: UNetConfig = UNET_SD1
     conditioning_channels: int = 3
     conditioning_embedding_out_channels: Tuple[int, ...] = (16, 32, 96, 256)
+    # pixel->latent downsample of the condition embedding (= vae scale
+    # factor; 8 for all real SD VAEs, smaller only in toy test configs)
+    cond_downsample_factor: int = 8
 
 
 @dataclass(frozen=True)

@@ -52,11 +52,15 @@ def _flash_fn():
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           causal: bool = False,
                           use_pallas: str = "auto") -> jnp.ndarray:
-    """(B, Sq, H, D) x (B, Sk, H, D) -> (B, Sq, H, D)."""
+    """(B, Sq, H, D) x (B, Sk, H, D) -> (B, Sq, H, D).
+
+    Flash engages for long, non-causal self-attention with lane-friendly
+    head dims (all SD family head dims qualify: 40/64/80/160). No silent
+    fallback: a failing kernel must fail loudly — the XLA path materializes
+    O(S^2) logits and OOMs exactly where flash matters most.
+    """
     if (_use_pallas(use_pallas) and q.shape[1] >= _FLASH_MIN_SEQ
-            and q.shape[-1] % 64 == 0 and not causal):
-        try:
-            return _flash_fn()(q, k, v)
-        except Exception:  # pragma: no cover - kernel unavailable fallback
-            pass
+            and k.shape[1] >= _FLASH_MIN_SEQ
+            and q.shape[-1] % 8 == 0 and not causal):
+        return _flash_fn()(q, k, v)
     return reference_attention(q, k, v, causal=causal)

@@ -2,9 +2,10 @@
 
 Shapes in this workload (SURVEY §5 'long-context'): every view is exactly
 native resolution, so self-attention sequence lengths are 16384 / 4096 / 1024
-tokens (SDXL) with head_dim 64 — K/V for one (batch, head) fit comfortably in
-VMEM, so the kernel streams q blocks over the grid and loops k blocks
-in-kernel with online softmax (no HBM round-trips for the logits matrix).
+tokens with head_dim 64/40/80/160. Online-softmax accumulation streams K/V
+blocks through the innermost (sequential) grid dimension with VMEM scratch
+carrying (m, l, acc) — no O(S^2) logits in HBM and no full-K/V VMEM residency
+(full 16k-token K/V + pipelining overflows the 16 MB VMEM budget).
 
 Cross-attention (k=77) and small sequences stay on the XLA path
 (kernels/attention.py gates on sequence length).
@@ -23,30 +24,34 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sk: int,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                   scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
-    bq, d = q.shape
-    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
 
-    def body(j, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (bq, bk)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = alpha * acc + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+    @pl.when(kb == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    m, l, acc = jax.lax.fori_loop(0, sk // block_k, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    q = q_ref[0].astype(jnp.float32) * scale        # (bq, d)
+    k = k_ref[0].astype(jnp.float32)                # (bk, d)
+    v = v_ref[0].astype(jnp.float32)                # (bk, d)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (bq, bk)
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_scr[:] = m_new
+    l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(kb == nk - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
@@ -59,7 +64,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Sk = k.shape[1]
     scale = 1.0 / (D ** 0.5)
 
-    # fold heads into the grid batch; kernel layout (BH, S, D)
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
     kf = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
@@ -71,21 +75,26 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     while Sk % bk:
         bk //= 2
 
-    grid = (B * H, Sq // bq)
+    grid = (B * H, Sq // bq, Sk // bk)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=bk, sk=Sk, scale=scale),
+        functools.partial(_flash_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),   # running max
+            pltpu.VMEM((bq, 1), jnp.float32),   # running denom
+            pltpu.VMEM((bq, D), jnp.float32),   # running numerator
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Sq * Sk * D,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,

@@ -25,15 +25,19 @@ from elasticdiffusion_tpu.models.unet import CrossAttnBlock
 
 
 class ConditioningEmbedding(nn.Module):
-    """RGB condition -> latent-resolution feature (3 stride-2 convs)."""
+    """RGB condition -> latent-resolution feature (log2(factor) stride-2
+    convs; 3 for the real 8x VAEs)."""
 
     out_channels: int
     block_channels: Tuple[int, ...] = (16, 32, 96, 256)
+    downsample_factor: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, cond):  # NHWC in [0,1]
-        ch = self.block_channels
+        import math
+        k = int(math.log2(self.downsample_factor))
+        ch = self.block_channels[-(k + 1):]
         x = nn.Conv(ch[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     name="conv_in")(cond)
         x = nn.silu(x)
@@ -90,6 +94,7 @@ class ControlNet(nn.Module):
                     name="conv_in")(x)
         x = x + ConditioningEmbedding(
             bo[0], self.config.conditioning_embedding_out_channels,
+            downsample_factor=self.config.cond_downsample_factor,
             dtype=self.dtype, name="controlnet_cond_embedding")(cond)
 
         def zero_conv(h, name):

@@ -62,6 +62,44 @@ class ModelBundle:
             down_block_residuals=down_block_residuals,
             mid_block_residual=mid_block_residual)
 
+    def apply_unet_segmented(self, latent_nchw, t, context,
+                             added_text_embeds=None, added_time_ids=None,
+                             down_block_residuals=None,
+                             mid_block_residual=None):
+        """UNet forward as a chain of per-block jitted programs (see
+        models/unet.py SEGMENTED EXECUTION). Numerically identical to
+        apply_unet; each segment compiles independently."""
+        cfg = self.config.unet
+        n = len(cfg.block_out_channels)
+
+        def ap(stage):
+            def f(params, **kw):
+                return self.unet.apply({"params": params}, stage=stage, **kw)
+            return self._jit(f"unet_seg_{stage}", f)
+
+        h, emb = ap("stem")(self.unet_params, sample_nchw=latent_nchw,
+                            timesteps=t,
+                            added_text_embeds=added_text_embeds,
+                            added_time_ids=added_time_ids)
+        residuals = [h]
+        for i in range(n):
+            h, outs = ap(f"down_{i}")(self.unet_params, hidden=h, emb=emb,
+                                      encoder_hidden_states=context)
+            residuals.extend(outs)
+        if down_block_residuals is not None:
+            assert len(down_block_residuals) == len(residuals)
+            residuals = [r + a.astype(r.dtype)
+                         for r, a in zip(residuals, down_block_residuals)]
+        h = ap("mid")(self.unet_params, hidden=h, emb=emb,
+                      encoder_hidden_states=context,
+                      mid_block_residual=mid_block_residual)
+        for i in reversed(range(n)):
+            k = cfg.layers_per_block + 1
+            sk, residuals = residuals[-k:], residuals[:-k]
+            h = ap(f"up_{i}")(self.unet_params, hidden=h, emb=emb,
+                              encoder_hidden_states=context, skips=tuple(sk))
+        return ap("out")(self.unet_params, hidden=h)
+
     def apply_controlnet(self, latent_nchw, t, context, condition_nchw,
                          conditioning_scale=1.0, added_text_embeds=None,
                          added_time_ids=None):
@@ -160,9 +198,28 @@ def _init_text(cfg: ModelBundleConfig, runtime: RuntimeConfig, key):
 
 
 def _cast_params(params, dtype):
-    return jax.tree.map(
-        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-        params)
+    """Cast float leaves, MATERIALIZING the result and deleting originals.
+
+    Init runs in fp32 (flax param_dtype default); on the lazy/async axon
+    backend nothing materializes until first use, so without forced
+    materialization + deletion the fp32 init trees of every model stack up
+    at the first sync (SDXL: 10.4 GB UNet fp32 + bf16 copies + both CLIPs
+    -> HBM OOM before the first forward).
+    """
+    def cast(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)                 and a.dtype != dtype:
+            out = a.astype(dtype)
+            return out
+        return a
+    out = jax.tree.map(cast, params)
+    jax.block_until_ready(out)
+    for old, new in zip(jax.tree.leaves(params), jax.tree.leaves(out)):
+        if old is not new and hasattr(old, "delete"):
+            try:
+                old.delete()
+            except Exception:
+                pass
+    return out
 
 
 def load_bundle(sd_version: str, runtime: RuntimeConfig = RuntimeConfig(),
@@ -181,13 +238,21 @@ def load_bundle(sd_version: str, runtime: RuntimeConfig = RuntimeConfig(),
     k_unet, k_vae, k_text, k_cn = jax.random.split(key, 4)
 
     unet, unet_params = _init_unet(cfg, runtime, k_unet)
+    if checkpoint_dir is None:
+        unet_params = _cast_params(unet_params, runtime.param_dtype)
     vae, vae_fp32, vae_params = _init_vae(cfg, runtime, k_vae)
+    if checkpoint_dir is None:
+        vae_params = _cast_params(vae_params, jnp.float32)
     text_models, text_params = _init_text(cfg, runtime, k_text)
+    if checkpoint_dir is None:
+        text_params = tuple(_cast_params(p, runtime.param_dtype)
+                            for p in text_params)
 
     controlnet = None
     controlnet_params = None
     if controlnet_model is not None:
-        cn_cfg = ControlNetConfig(unet=cfg.unet)
+        cn_cfg = ControlNetConfig(unet=cfg.unet,
+                                  cond_downsample_factor=cfg.vae.scale_factor)
         controlnet = ControlNet(cn_cfg, dtype=runtime.compute_dtype,
                                 use_pallas=runtime.use_pallas)
         s = cfg.unet.sample_size
@@ -199,7 +264,8 @@ def load_bundle(sd_version: str, runtime: RuntimeConfig = RuntimeConfig(),
             k_cn, jnp.zeros((1, cfg.unet.in_channels, s, s)),
             jnp.zeros((1,)),
             jnp.zeros((1, 77, cfg.unet.cross_attention_dim)),
-            jnp.zeros((1, 3, s * 8, s * 8)), **kwargs)["params"]
+            jnp.zeros((1, 3, s * cfg.vae.scale_factor,
+                       s * cfg.vae.scale_factor)), **kwargs)["params"]
 
     if checkpoint_dir is not None:
         from elasticdiffusion_tpu.models.convert import load_converted_params

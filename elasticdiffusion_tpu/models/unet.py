@@ -13,6 +13,14 @@ TPU-first: NHWC layout, bf16 matmuls with fp32 norms, optional per-block
 remat (`remat` flag — the memory analog of the reference's low_vram staging),
 Pallas attention via kernels/attention.py. Public call takes NCHW to match
 the pipeline/reference convention and transposes once at entry/exit.
+
+SEGMENTED EXECUTION: `stage` selects a slice of the network ('stem',
+'down_{i}', 'mid', 'up_{i}', 'out') so SD-scale models can run as a chain of
+separately-jitted programs. This environment's remote XLA compile service
+fails on single programs at full-SD size (broken pipe after ~1 h); per-block
+programs compile in seconds-to-minutes and the only cost is HBM-resident
+activations between segments. Param names are identical across stages, so
+'full' and segmented execution share one checkpoint.
 """
 
 from __future__ import annotations
@@ -63,114 +71,153 @@ class UNet2DCondition(nn.Module):
         return mod_cls
 
     @nn.compact
-    def __call__(self, sample_nchw, timesteps, encoder_hidden_states,
+    def __call__(self, sample_nchw=None, timesteps=None,
+                 encoder_hidden_states=None,
                  added_text_embeds=None, added_time_ids=None,
                  down_block_residuals: Optional[Sequence[jnp.ndarray]] = None,
-                 mid_block_residual: Optional[jnp.ndarray] = None):
-        """sample_nchw: (B, C, H, W); timesteps: scalar or (B,);
-        encoder_hidden_states: (B, 77, ctx_dim). Returns eps (B, C, H, W)."""
+                 mid_block_residual: Optional[jnp.ndarray] = None,
+                 stage: str = "full", hidden=None, emb=None, skips=None):
+        """stage='full': sample_nchw (B,C,H,W) + timesteps + context -> eps.
+
+        Segmented stages (hidden/emb NHWC, internal dtype):
+          'stem'    (sample_nchw, timesteps, added_*) -> (h, emb)
+          'down_i'  (hidden, emb, context)            -> (h, (res...,))
+          'mid'     (hidden, emb, context[, mid_block_residual]) -> h
+          'up_i'    (hidden, emb, context, skips)     -> h
+          'out'     (hidden,)                         -> eps (B,C,H,W)
+        """
         cfg = self.config
-        x = jnp.transpose(sample_nchw, (0, 2, 3, 1)).astype(self.dtype)
-        B = x.shape[0]
-        if jnp.ndim(timesteps) == 0:
-            timesteps = jnp.broadcast_to(timesteps, (B,))
-        context = encoder_hidden_states.astype(self.dtype)
-
-        # --- time (+added) embedding ---
         bo = cfg.block_out_channels
-        t_emb = timestep_embedding(timesteps, bo[0], cfg.flip_sin_to_cos,
-                                   cfg.freq_shift)
-        temb_dim = bo[0] * 4
-        emb = TimestepEmbedding(temb_dim, dtype=self.dtype,
-                                name="time_embedding")(t_emb.astype(self.dtype))
-        if cfg.addition_embed_type == "text_time":
-            assert added_text_embeds is not None and added_time_ids is not None, (
-                "SDXL requires added_cond (text_embeds, time_ids)")
-            # 6 time-ids -> per-id sinusoidal, flattened
-            # (diffusers flattens to (B, 6*addition_time_embed_dim))
-            tid = added_time_ids.reshape(-1)
-            tid_emb = timestep_embedding(tid, cfg.addition_time_embed_dim,
-                                         cfg.flip_sin_to_cos, cfg.freq_shift)
-            tid_emb = tid_emb.reshape(B, -1)
-            add_in = jnp.concatenate(
-                [added_text_embeds.astype(jnp.float32), tid_emb], axis=-1)
-            assert add_in.shape[-1] == cfg.projection_class_embeddings_input_dim, (
-                f"add-embed dim {add_in.shape[-1]} != "
-                f"{cfg.projection_class_embeddings_input_dim}")
-            emb = emb + TimestepEmbedding(temb_dim, dtype=self.dtype,
-                                          name="add_embedding")(
-                                              add_in.astype(self.dtype))
-
-        # --- down path ---
+        n_blocks = len(bo)
         Res = self._maybe_remat(ResnetBlock2D)
         CA = self._maybe_remat(CrossAttnBlock)
+        context = None if encoder_hidden_states is None else \
+            encoder_hidden_states.astype(self.dtype)
 
-        x = nn.Conv(bo[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-                    name="conv_in")(x)
-        residuals = [x]
-        n_blocks = len(bo)
-        for i in range(n_blocks):
+        def make_emb(B):
+            t = timesteps
+            if jnp.ndim(t) == 0:
+                t = jnp.broadcast_to(t, (B,))
+            t_emb = timestep_embedding(t, bo[0], cfg.flip_sin_to_cos,
+                                       cfg.freq_shift)
+            temb_dim = bo[0] * 4
+            e = TimestepEmbedding(temb_dim, dtype=self.dtype,
+                                  name="time_embedding")(t_emb.astype(self.dtype))
+            if cfg.addition_embed_type == "text_time":
+                assert added_text_embeds is not None and added_time_ids is not None, (
+                    "SDXL requires added_cond (text_embeds, time_ids)")
+                tid = added_time_ids.reshape(-1)
+                tid_emb = timestep_embedding(tid, cfg.addition_time_embed_dim,
+                                             cfg.flip_sin_to_cos, cfg.freq_shift)
+                tid_emb = tid_emb.reshape(B, -1)
+                add_in = jnp.concatenate(
+                    [added_text_embeds.astype(jnp.float32), tid_emb], axis=-1)
+                assert add_in.shape[-1] == cfg.projection_class_embeddings_input_dim, (
+                    f"add-embed dim {add_in.shape[-1]} != "
+                    f"{cfg.projection_class_embeddings_input_dim}")
+                e = e + TimestepEmbedding(temb_dim, dtype=self.dtype,
+                                          name="add_embedding")(
+                                              add_in.astype(self.dtype))
+            return e
+
+        def stem(x_nchw):
+            x = jnp.transpose(x_nchw, (0, 2, 3, 1)).astype(self.dtype)
+            return nn.Conv(bo[0], (3, 3), padding=((1, 1), (1, 1)),
+                           dtype=self.dtype, name="conv_in")(x)
+
+        def down_block(i, x, e):
+            outs = []
             for j in range(cfg.layers_per_block):
                 if cfg.down_block_has_attn[i]:
                     x = CA(bo[i], cfg.heads_for_block(i),
                            cfg.transformer_layers_per_block[i],
                            cfg.use_linear_projection, self.dtype,
-                           self.use_pallas,
-                           name=f"down_{i}_{j}")(x, emb, context)
+                           self.use_pallas, name=f"down_{i}_{j}")(x, e, context)
                 else:
                     x = Res(bo[i], dtype=self.dtype,
-                            name=f"down_{i}_{j}_resnet")(x, emb)
-                residuals.append(x)
+                            name=f"down_{i}_{j}_resnet")(x, e)
+                outs.append(x)
             if i < n_blocks - 1:
                 x = Downsample2D(bo[i], dtype=self.dtype,
                                  name=f"down_{i}_downsample")(x)
-                residuals.append(x)
+                outs.append(x)
+            return x, tuple(outs)
 
-        # ControlNet residual injection (down)
-        if down_block_residuals is not None:
-            assert len(down_block_residuals) == len(residuals), (
-                f"expected {len(residuals)} down residuals, "
-                f"got {len(down_block_residuals)}")
-            residuals = [r + jnp.transpose(a, (0, 2, 3, 1)).astype(r.dtype)
-                         if a.ndim == 4 and a.shape[1] == r.shape[-1]
-                         else r + a.astype(r.dtype)
-                         for r, a in zip(residuals, down_block_residuals)]
+        def mid_block(x, e):
+            x = Res(bo[-1], dtype=self.dtype, name="mid_resnet_0")(x, e)
+            x = Transformer2D(cfg.heads_for_block(n_blocks - 1),
+                              bo[-1] // cfg.heads_for_block(n_blocks - 1),
+                              depth=cfg.transformer_layers_per_block[-1],
+                              use_linear_projection=cfg.use_linear_projection,
+                              dtype=self.dtype, use_pallas=self.use_pallas,
+                              name="mid_attn")(x, context)
+            x = Res(bo[-1], dtype=self.dtype, name="mid_resnet_1")(x, e)
+            if mid_block_residual is not None:
+                # residuals are NHWC (our ControlNet's native layout)
+                x = x + mid_block_residual.astype(x.dtype)
+            return x
 
-        # --- mid ---
-        x = Res(bo[-1], dtype=self.dtype, name="mid_resnet_0")(x, emb)
-        x = Transformer2D(cfg.heads_for_block(n_blocks - 1),
-                          bo[-1] // cfg.heads_for_block(n_blocks - 1),
-                          depth=cfg.transformer_layers_per_block[-1],
-                          use_linear_projection=cfg.use_linear_projection,
-                          dtype=self.dtype, use_pallas=self.use_pallas,
-                          name="mid_attn")(x, context)
-        x = Res(bo[-1], dtype=self.dtype, name="mid_resnet_1")(x, emb)
-        if mid_block_residual is not None:
-            a = mid_block_residual
-            if a.ndim == 4 and a.shape[1] == x.shape[-1]:
-                a = jnp.transpose(a, (0, 2, 3, 1))
-            x = x + a.astype(x.dtype)
-
-        # --- up path ---
-        for i in reversed(range(n_blocks)):
+        def up_block(i, x, e, sk):
+            sk = list(sk)
             for j in range(cfg.layers_per_block + 1):
-                res = residuals.pop()
-                x = jnp.concatenate([x, res], axis=-1)
+                x = jnp.concatenate([x, sk.pop()], axis=-1)
                 if cfg.down_block_has_attn[i]:
                     x = CA(bo[i], cfg.heads_for_block(i),
                            cfg.transformer_layers_per_block[i],
                            cfg.use_linear_projection, self.dtype,
-                           self.use_pallas,
-                           name=f"up_{i}_{j}")(x, emb, context)
+                           self.use_pallas, name=f"up_{i}_{j}")(x, e, context)
                 else:
                     x = Res(bo[i], dtype=self.dtype,
-                            name=f"up_{i}_{j}_resnet")(x, emb)
+                            name=f"up_{i}_{j}_resnet")(x, e)
             if i > 0:
                 x = Upsample2D(bo[i], dtype=self.dtype,
                                name=f"up_{i}_upsample")(x)
+            return x
 
-        x = GroupNorm32(name="conv_norm_out")(x)
-        x = nn.silu(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv_out")(x)
-        return jnp.transpose(x, (0, 3, 1, 2))
+        def out_block(x):
+            x = GroupNorm32(name="conv_norm_out")(x)
+            x = nn.silu(x)
+            x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="conv_out")(x)
+            return jnp.transpose(x, (0, 3, 1, 2))
+
+        # ---- segmented stages ----
+        if stage == "stem":
+            x = stem(sample_nchw)
+            return x, make_emb(x.shape[0])
+        if stage.startswith("down_"):
+            return down_block(int(stage[5:]), hidden.astype(self.dtype),
+                              emb.astype(self.dtype))
+        if stage == "mid":
+            return mid_block(hidden.astype(self.dtype), emb.astype(self.dtype))
+        if stage.startswith("up_"):
+            return up_block(int(stage[3:]), hidden.astype(self.dtype),
+                            emb.astype(self.dtype),
+                            [s.astype(self.dtype) for s in skips])
+        if stage == "out":
+            return out_block(hidden.astype(self.dtype))
+        assert stage == "full", f"unknown stage {stage}"
+
+        # ---- full forward ----
+        x = stem(sample_nchw)
+        e = make_emb(x.shape[0])
+        residuals = [x]
+        for i in range(n_blocks):
+            x, outs = down_block(i, x, e)
+            residuals.extend(outs)
+
+        if down_block_residuals is not None:
+            assert len(down_block_residuals) == len(residuals), (
+                f"expected {len(residuals)} down residuals, "
+                f"got {len(down_block_residuals)}")
+            # residuals are NHWC (our ControlNet's native layout)
+            residuals = [r + a.astype(r.dtype)
+                         for r, a in zip(residuals, down_block_residuals)]
+
+        x = mid_block(x, e)
+
+        for i in reversed(range(n_blocks)):
+            k = cfg.layers_per_block + 1
+            sk, residuals = residuals[-k:], residuals[:-k]
+            x = up_block(i, x, e, sk)
+        return out_block(x)

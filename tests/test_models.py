@@ -75,7 +75,7 @@ def test_unet_residual_count_matches_controlnet(bundle):
     b = make_toy_bundle(controlnet="canny")
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 16))
-    cond = jnp.zeros((1, 3, 64, 64))  # 8x latent in pixels (toy vsf=2 -> 16; use 8*8)
+    cond = jnp.zeros((1, 3, 16, 16))  # latent 8x8 * toy vsf 2
     down, mid = b.apply_controlnet(x, jnp.asarray(500.0), ctx, cond)
     assert len(down) == expected
     # zero-convs -> fresh ControlNet returns exactly zero residuals
