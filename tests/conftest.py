@@ -12,6 +12,11 @@ to bf16 MXU passes).
 
 import os
 
+# keep transformers (used by the real-reference oracle imports) from pulling
+# in tensorflow — a ~36 s import on this 1-core host
+os.environ.setdefault("USE_TF", "0")
+os.environ.setdefault("USE_TORCH", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
