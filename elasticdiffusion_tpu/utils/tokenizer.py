@@ -22,6 +22,11 @@ from typing import List, Optional
 
 import numpy as np
 
+try:  # the true CLIP pattern needs \p{L}/\p{N} (regex module, a
+    import regex as _regex  # transformers dependency, present wherever it is)
+except ImportError:  # pragma: no cover
+    _regex = None
+
 
 def _basic_clean(text: str) -> str:
     text = html.unescape(html.unescape(text))
@@ -59,11 +64,16 @@ def _get_pairs(word):
 class CLIPTokenizer:
     """Byte-level BPE with the CLIP text cleaning/regex conventions."""
 
-    PAT = re.compile(
-        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-        r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""" if False else
-        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-        r"""[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""", re.IGNORECASE)
+    # the genuine CLIP pattern (transformers tokenization_clip.py) when the
+    # regex module is available; ASCII approximation otherwise
+    if _regex is not None:
+        PAT = _regex.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+            r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""", _regex.IGNORECASE)
+    else:  # pragma: no cover
+        PAT = re.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+            r"""[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""", re.IGNORECASE)
 
     def __init__(self, vocab_dir: Optional[str] = None,
                  model_max_length: int = 77,
@@ -72,6 +82,7 @@ class CLIPTokenizer:
                  pad_token_id: Optional[int] = None,
                  vocab_size: int = 49408):
         self.model_max_length = model_max_length
+        self._explicit_ids = (bos_token_id, eos_token_id, pad_token_id)
         # CLIP convention: BOS/EOS are the last two vocab entries
         self.bos_token_id = vocab_size - 2 if bos_token_id is None else bos_token_id
         self.eos_token_id = vocab_size - 1 if eos_token_id is None else eos_token_id
@@ -100,6 +111,14 @@ class CLIPTokenizer:
         merges = [tuple(m.split()) for m in merges if m and len(m.split()) == 2]
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.vocab_size = len(self.encoder)
+        # rebind special ids from the actual vocab (defaults assumed the
+        # standard 49408-entry CLIP vocab); explicit ctor args still win
+        bos, eos, pad = self._explicit_ids
+        self.bos_token_id = self.encoder.get(
+            "<|startoftext|>", self.vocab_size - 2) if bos is None else bos
+        self.eos_token_id = self.encoder.get(
+            "<|endoftext|>", self.vocab_size - 1) if eos is None else eos
+        self.pad_token_id = self.eos_token_id if pad is None else pad
 
     @property
     def has_vocab(self) -> bool:
@@ -144,7 +163,7 @@ class CLIPTokenizer:
     def _encode_text(self, text: str) -> List[int]:
         text = _whitespace_clean(_basic_clean(text)).lower()
         ids: List[int] = []
-        for token in re.findall(self.PAT, text):
+        for token in self.PAT.findall(text):
             if self.has_vocab:
                 token_b = "".join(self.byte_encoder[b]
                                   for b in token.encode("utf-8"))
