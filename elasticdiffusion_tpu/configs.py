@@ -277,6 +277,12 @@ class RuntimeConfig:
     remat_unet: bool = False                   # low_vram analog: remat blocks
     view_batch_size: int = 0                   # 0 = all views in one batch
     fused_loop: bool = False                   # lax.scan over timesteps
+    # 'auto' | 'on' | 'off': run the denoise step as a host-orchestrated
+    # sequence of small programs + the per-block segmented UNet chain
+    # (core/segmented.py) instead of one fused jit. 'auto' segments SD-scale
+    # models on non-CPU backends, where single full-step programs exceed
+    # what this environment's XLA compile service can build.
+    segmented_step: str = "auto"
 
 
 @dataclass(frozen=True)

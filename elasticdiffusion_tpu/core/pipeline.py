@@ -424,15 +424,33 @@ class ElasticDiffusion:
             if view_pad.needs_padding else {}
 
         scripted = scripted_noise is not None
-        mk = lambda rp: self._build_step_fn(
-            statics, text_cfg, uncond_text, add_text_cfg, uncond_pooled_arg,
-            add_time_ids, repaint=rp, scripted=scripted,
-            controlnet_cond=cn_cond, controlnet_scale=controlnet_conditioning_scale)
         do_repaint = repaint_sampling and resampling_steps > 0
-        step_repaint_raw = mk(True) if do_repaint else None
-        step_plain_raw = mk(False)
-        step_repaint = jax.jit(step_repaint_raw) if do_repaint else None
-        step_plain = jax.jit(step_plain_raw)
+        from elasticdiffusion_tpu.core.segmented import (
+            build_segmented_step, should_segment,
+        )
+        use_segmented = should_segment(self.runtime, b.config)
+        if use_segmented:
+            mk = lambda rp: build_segmented_step(
+                self, statics, text_cfg, uncond_text, add_text_cfg,
+                uncond_pooled_arg, add_time_ids, repaint=rp,
+                scripted=scripted, controlnet_cond=cn_cond,
+                controlnet_scale=controlnet_conditioning_scale)
+            step_repaint_raw = step_repaint = mk(True) if do_repaint else None
+            step_plain_raw = step_plain = mk(False)
+            for s in (step_repaint, step_plain):
+                if s is not None:
+                    s.collect_phase_times = getattr(
+                        self, "collect_phase_times", False)
+        else:
+            mk = lambda rp: self._build_step_fn(
+                statics, text_cfg, uncond_text, add_text_cfg,
+                uncond_pooled_arg, add_time_ids, repaint=rp,
+                scripted=scripted, controlnet_cond=cn_cond,
+                controlnet_scale=controlnet_conditioning_scale)
+            step_repaint_raw = mk(True) if do_repaint else None
+            step_plain_raw = mk(False)
+            step_repaint = jax.jit(step_repaint_raw) if do_repaint else None
+            step_plain = jax.jit(step_plain_raw)
 
         # per-step cost model (SURVEY §3.1)
         V = view_plan.num_views
@@ -454,7 +472,8 @@ class ElasticDiffusion:
         # program for the whole denoise schedule; per-step constants are
         # stacked tables scanned over. Host loop remains the default for
         # progress/logging/checkpointing.
-        use_fused = (self.runtime.fused_loop and not self.verbose
+        use_fused = (self.runtime.fused_loop and not use_segmented
+                     and not self.verbose
                      and scripted_noise is None and start_step == 0
                      and not checkpoint_every and do_repaint
                      and num_inference_steps >= 2)
@@ -548,7 +567,14 @@ class ElasticDiffusion:
                 "unet_view_forwards": total_fwd,
                 "denoise_seconds": elapsed,
                 "unet_view_forwards_per_sec": total_fwd / max(elapsed, 1e-9),
+                "segmented": use_segmented,
             }
+            if use_segmented and getattr(self, "collect_phase_times", False):
+                phases = dict(step_plain.phase_times)
+                if step_repaint is not None:
+                    for k_, v_ in step_repaint.phase_times.items():
+                        phases[k_] = phases.get(k_, 0.0) + v_
+                self.last_metrics["phase_seconds"] = phases
 
         # decode + logs (/root/reference/elastic_diffusion.py:1080-1130)
         if tiled_decoder:

@@ -38,3 +38,58 @@ def test_segmented_xl_with_controlnet_residuals():
                                  mid_block_residual=mid)
     np.testing.assert_allclose(np.asarray(seg), np.asarray(full),
                                atol=2e-5, rtol=1e-4)
+
+
+def _gen(bundle, segmented, **kw):
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+    rt = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                       use_pallas="off",
+                       segmented_step="on" if segmented else "off")
+    pipe = ElasticDiffusion(bundle=bundle, runtime=rt)
+    pipe.seed_everything(7)
+    arr, log = pipe.generate_image(return_arrays=True, **kw)
+    return arr, pipe.last_metrics
+
+
+def test_segmented_step_matches_fused_pipeline():
+    """The host-orchestrated step (core/segmented.py) must reproduce the
+    fused jitted step draw-for-draw: same seed -> same image."""
+    b = make_toy_bundle()
+    kw = dict(prompts="a cat", height=32, width=48, num_inference_steps=2,
+              guidance_scale=7.5, resampling_steps=2, new_p=0.3,
+              rrg_init_weight=1000, rrg_stop_t=0.0, repaint_sampling=True)
+    fused, m_f = _gen(b, segmented=False, **kw)
+    seg, m_s = _gen(b, segmented=True, **kw)
+    assert m_s["segmented"] and not m_f["segmented"]
+    assert m_s["unet_view_forwards"] == m_f["unet_view_forwards"]
+    np.testing.assert_allclose(seg, fused, atol=5e-5, rtol=1e-4)
+
+
+def test_segmented_step_matches_fused_xl_controlnet():
+    b = make_toy_bundle(xl=True, controlnet="canny")
+    cond = np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+    kw = dict(prompts="a cat", height=32, width=32, num_inference_steps=2,
+              guidance_scale=7.5, resampling_steps=1, new_p=0.3,
+              rrg_init_weight=0, repaint_sampling=True,
+              condition_image=cond, controlnet_conditioning_scale=0.5)
+    fused, _ = _gen(b, segmented=False, **kw)
+    seg, m_s = _gen(b, segmented=True, **kw)
+    assert m_s["segmented"]
+    np.testing.assert_allclose(seg, fused, atol=5e-5, rtol=1e-4)
+
+
+def test_segmented_phase_times():
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+    rt = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                       use_pallas="off", segmented_step="on")
+    pipe = ElasticDiffusion(bundle=make_toy_bundle(), runtime=rt)
+    pipe.collect_phase_times = True
+    pipe.seed_everything(0)
+    pipe.generate_image("a cat", height=32, width=32, num_inference_steps=2,
+                        resampling_steps=1, repaint_sampling=True,
+                        return_arrays=True)
+    phases = pipe.last_metrics["phase_seconds"]
+    assert set(phases) == {"direction", "views", "sched"}
+    assert all(v > 0 for v in phases.values())
