@@ -103,28 +103,46 @@ def micro_bench(pipe, height, width, rs, n_measure):
         times.append(max((time.time() - t0 - roundtrip) / K, 1e-9))
     _log(f"roundtrip={roundtrip*1e3:.1f}ms per_call={min(times)*1e3:.1f}ms")
     per_fwd = min(times) / batch
-    return per_fwd, V, compile_s
+    return per_fwd, V, compile_s, {}
 
 
 def step_bench(pipe, height, width, rs, n_measure):
+    """Compile and run the PRODUCTION denoise step on chip — the full
+    elastic update (direction resampling, batched views, repaint, RRG),
+    host-orchestrated/segmented at SD scale (core/segmented.py), fused
+    single-program otherwise."""
     from elasticdiffusion_tpu.core.entry import make_denoise_step
+    from elasticdiffusion_tpu.core.segmented import should_segment
+    seg = should_segment(pipe.runtime, pipe.bundle.config)
     step_fn, (lat, key, inp), view_plan = make_denoise_step(
         pipe, height, width, num_inference_steps=50, resampling_steps=rs,
-        repaint=True)
-    step = jax.jit(step_fn)
+        repaint=True, segmented=seg)
+    step = step_fn if seg else jax.jit(step_fn)
+    _log(f"step built (segmented={seg}); compiling")
+
+    def sync(a):
+        return float(a[0, 0, 0, 0])
+
     t0 = time.time()
     out, key, _ = step(lat, key, inp)
-    out.block_until_ready()
+    sync(out)
     compile_s = time.time() - t0
+    _log(f"step compiled+ran ({compile_s:.0f}s)")
     times = []
-    for _ in range(n_measure):
+    for i in range(n_measure):
+        if seg and i == n_measure - 1:
+            step.collect_phase_times = True  # last rep: phase breakdown
         t0 = time.time()
         out, key, _ = step(out, key, inp)
-        out.block_until_ready()
+        sync(out)
         times.append(time.time() - t0)
     V = view_plan.num_views
     per_fwd = min(times) / _cost_model(rs, V)
-    return per_fwd, V, compile_s
+    extras = {"step_seconds": round(min(times), 3)}
+    if seg and step.phase_times:
+        extras["phase_seconds"] = {k: round(v, 3)
+                                   for k, v in step.phase_times.items()}
+    return per_fwd, V, compile_s, extras
 
 
 def main():
@@ -169,7 +187,7 @@ def main():
         pipe = ElasticDiffusion(bundle=bundle, runtime=runtime)
 
     bench_fn = micro_bench if mode == "micro" else step_bench
-    per_fwd, V, compile_s = bench_fn(pipe, height, width, rs, n_measure)
+    per_fwd, V, compile_s, extras = bench_fn(pipe, height, width, rs, n_measure)
     _log(f"measured: per_fwd={per_fwd:.4f}s V={V} compile={compile_s:.0f}s")
 
     fwd_per_step = _cost_model(rs, V)
@@ -192,6 +210,7 @@ def main():
         "preset": f"{sd_version}@{height}x{width}",
         "mode": mode,
         "backend": jax.default_backend(),
+        **extras,
     }
     print(json.dumps(result))
 

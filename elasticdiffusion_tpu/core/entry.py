@@ -23,11 +23,14 @@ def make_denoise_step(pipe: ElasticDiffusion, height: int, width: int,
                       num_inference_steps: int = 50,
                       guidance_scale: float = 10.0, resampling_steps: int = 7,
                       new_p: float = 0.3, repaint: bool = True,
-                      prompt: str = "a photo", negative: str = ""):
+                      prompt: str = "a photo", negative: str = "",
+                      segmented: bool = False):
     """Returns (step_fn, (latent, key, inp)) for ONE denoise step at step 0.
 
-    step_fn is the un-jitted closure (callers decide how to jit/shard it);
-    inputs are fully materialized (backgrounds for t0 only).
+    With segmented=False, step_fn is the un-jitted fused closure (callers
+    decide how to jit/shard it). With segmented=True, step_fn is the
+    host-orchestrated segmented step (core/segmented.py) — call it directly,
+    do NOT wrap it in jax.jit.
     """
     b = pipe.bundle
     vsf = pipe.vae_scale_factor
@@ -78,12 +81,20 @@ def make_denoise_step(pipe: ElasticDiffusion, height: int, width: int,
         inp["undo_s1mb"] = jnp.asarray(s1mb)
         inp["undo_sb"] = jnp.asarray(sb)
 
-    # _build_step_fn returns a jitted fn; grab the wrapped raw closure
-    jitted = pipe._build_step_fn(statics, text_cfg, uncond_text, add_text_cfg,
-                                 uncond_pooled_arg, add_time_ids,
-                                 repaint=repaint and resampling_steps > 0,
-                                 scripted=False)
-    step_fn = jitted.__wrapped__ if hasattr(jitted, "__wrapped__") else jitted
+    if segmented:
+        from elasticdiffusion_tpu.core.segmented import build_segmented_step
+        step_fn = build_segmented_step(
+            pipe, statics, text_cfg, uncond_text, add_text_cfg,
+            uncond_pooled_arg, add_time_ids,
+            repaint=repaint and resampling_steps > 0, scripted=False)
+    else:
+        # _build_step_fn returns a raw closure; callers jit it
+        jitted = pipe._build_step_fn(statics, text_cfg, uncond_text,
+                                     add_text_cfg, uncond_pooled_arg,
+                                     add_time_ids,
+                                     repaint=repaint and resampling_steps > 0,
+                                     scripted=False)
+        step_fn = jitted.__wrapped__ if hasattr(jitted, "__wrapped__") else jitted
 
     lat = jax.random.normal(jax.random.fold_in(key, 3),
                             (1, b.in_channels, lat_h, lat_w), jnp.float32)

@@ -1,19 +1,26 @@
-"""Fused GroupNorm(+SiLU) Pallas kernel.
+"""Fused GroupNorm(+SiLU) Pallas kernels.
 
-GroupNorm dominates the UNet's non-matmul time: each call reads the full
-activation twice (stats pass + normalize pass) when unfused. This kernel
-computes group moments and applies normalize+affine+SiLU in one VMEM-resident
-pass over rows, grid over batch.
+GroupNorm is the UNet's dominant non-matmul cost: unfused it reads the
+activation once for stats and once to normalize, with an fp32 upcast
+round-trip through HBM when activations are bf16. Here the norm is two
+pipelined Pallas kernels over row chunks:
 
-Layout: NHWC with C divisible by the group count; operates per batch element
-(one grid step holds (H*W, C) in VMEM — UNet tiles at native resolution are
-at most 128*128*320*4B = 20MB at the top level, so rows are chunked).
+  1. _stats_kernel: grid (B, n_chunks), sequential-grid reduction of
+     per-channel sum / sum-of-squares (fp32 accumulation in VMEM);
+  2. _apply_kernel: grid (B, n_chunks), streaming normalize+affine(+SiLU)
+     with the per-batch (1, C) scale/shift staying resident.
+
+The group reduce/broadcast between them is a tiny jnp stage ((B,C) ->
+(B,groups) -> (B,C)). Chunks are sized ~1MB so the automatic BlockSpec
+pipeline double-buffers within VMEM at any activation size (the previous
+whole-(S,C)-in-VMEM design hit the 16MB scoped-vmem limit at SD shapes).
+Channel-group reshapes never touch the lane dimension inside a kernel —
+Mosaic cannot layout-cast (S, C) -> (S, G, gs).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -21,41 +28,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float,
-            silu: bool, n_chunks: int, chunk: int):
-    C = x_ref.shape[-1]
-    gs = C // groups
-    # pass 1: accumulate moments over row chunks
-    s1 = jnp.zeros((1, groups), jnp.float32)
-    s2 = jnp.zeros((1, groups), jnp.float32)
+def _stats_kernel(x_ref, sums_ref):
+    """Accumulate per-channel [sum; sum_sq] over row chunks.
 
-    def acc(i, carry):
-        s1, s2 = carry
-        rows = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
-        r = rows.reshape(chunk, groups, gs)
-        return (s1 + jnp.sum(r, axis=(0, 2))[None, :],
-                s2 + jnp.sum(r * r, axis=(0, 2))[None, :])
+    x_ref: (1, chunk, C) VMEM block; sums_ref: (1, 2, C) fp32, revisited by
+    every chunk step of one batch row (TPU grid is sequential)."""
+    j = pl.program_id(1)
+    rows = x_ref[0].astype(jnp.float32)                       # (chunk, C)
+    s1 = jnp.sum(rows, axis=0, keepdims=True)
+    s2 = jnp.sum(rows * rows, axis=0, keepdims=True)
+    part = jnp.concatenate([s1, s2], axis=0)                  # (2, C)
 
-    s1, s2 = jax.lax.fori_loop(0, n_chunks, acc, (s1, s2))
-    cnt = jnp.float32(n_chunks * chunk * gs)
-    mean = s1 / cnt                       # (1, groups)
-    var = s2 / cnt - mean * mean
-    inv = jax.lax.rsqrt(var + eps)
+    @pl.when(j == 0)
+    def _init():
+        sums_ref[0] = part
 
-    mean_c = jnp.repeat(mean, gs, axis=1)  # (1, C)
-    inv_c = jnp.repeat(inv, gs, axis=1)
-    scale = scale_ref[:].astype(jnp.float32) * inv_c
-    shift = bias_ref[:].astype(jnp.float32) - mean_c * scale
+    @pl.when(j > 0)
+    def _acc():
+        sums_ref[0] = sums_ref[0] + part
 
-    def norm(i, _):
-        rows = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
-        out = rows * scale + shift
-        if silu:
-            out = out * jax.nn.sigmoid(out)
-        o_ref[0, pl.ds(i * chunk, chunk), :] = out.astype(o_ref.dtype)
-        return 0
 
-    jax.lax.fori_loop(0, n_chunks, norm, 0)
+def _apply_kernel(x_ref, scale_ref, shift_ref, o_ref, *, silu: bool):
+    """out = x * scale + shift (optionally SiLU), streaming over chunks."""
+    rows = x_ref[0].astype(jnp.float32)
+    out = rows * scale_ref[0] + shift_ref[0]
+    if silu:
+        out = out * jax.nn.sigmoid(out)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pick_chunks(S: int, C: int, itemsize: int, budget: int = 1 << 20):
+    """Row-chunk size targeting ~1MB VMEM blocks (pipelined x2 by pallas)."""
+    chunk, n_chunks = S, 1
+    max_rows = max(1, budget // (C * itemsize))
+    while chunk > max_rows and chunk % 2 == 0:
+        chunk //= 2
+        n_chunks *= 2
+    return chunk, n_chunks
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "silu",
@@ -63,33 +72,58 @@ def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float,
 def fused_group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                      groups: int, eps: float = 1e-5, silu: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
-    """x: (B, H, W, C) NHWC; scale/bias: (C,). Returns same shape/dtype."""
+    """x: (B, H, W, C) NHWC any float dtype; scale/bias: (C,) fp32.
+
+    Returns x.dtype. Stats and normalize run in fp32 regardless of input
+    dtype (matching GroupNorm32's fp32 contract)."""
     B, H, W, C = x.shape
     assert C % groups == 0
+    gs = C // groups
     S = H * W
-    chunk = S
-    # keep each VMEM chunk under ~2MB fp32
-    max_rows = max(1, (2 * 1024 * 1024) // (C * 4))
-    n_chunks = 1
-    while chunk > max_rows and chunk % 2 == 0:
-        chunk //= 2
-        n_chunks *= 2
+    chunk, n_chunks = _pick_chunks(S, C, x.dtype.itemsize)
     xf = x.reshape(B, S, C)
+
+    sums = pl.pallas_call(
+        _stats_kernel,
+        grid=(B, n_chunks),
+        in_specs=[pl.BlockSpec((1, chunk, C), lambda b, j: (b, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, C), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, C), jnp.float32),
+        interpret=interpret,
+    )(xf)
+
+    # tiny jnp stage: per-batch group moments -> per-channel scale/shift.
+    # The (B, C) -> (B, groups) reshape is fine in XLA (it is the in-kernel
+    # lane reshape Mosaic rejects).
+    cnt = jnp.float32(S * gs)
+    s1 = sums[:, 0, :].reshape(B, groups, gs).sum(-1)          # (B, G)
+    s2 = sums[:, 1, :].reshape(B, groups, gs).sum(-1)
+    mean = s1 / cnt
+    var = s2 / cnt - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, gs, axis=-1)                     # (B, C)
+    inv_c = jnp.repeat(inv, gs, axis=-1)
+    scale_c = scale.astype(jnp.float32)[None] * inv_c
+    shift_c = bias.astype(jnp.float32)[None] - mean_c * scale_c
+
     out = pl.pallas_call(
-        functools.partial(_kernel, groups=groups, eps=eps, silu=silu,
-                          n_chunks=n_chunks, chunk=chunk),
-        grid=(B,),
+        functools.partial(_apply_kernel, silu=silu),
+        grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, chunk, C), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, chunk, C), lambda b, j: (b, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
         interpret=interpret,
-    )(xf, scale.reshape(1, C), bias.reshape(1, C))
+    )(xf, scale_c[:, None, :], shift_c[:, None, :])
     return out.reshape(B, H, W, C)
 
 

@@ -115,6 +115,7 @@ class ControlNet(nn.Module):
                                        name=f"down_{i}_{j}")(x, emb, context)
                 else:
                     x = ResnetBlock2D(bo[i], dtype=self.dtype,
+                                      use_pallas=self.use_pallas,
                                       name=f"down_{i}_{j}_resnet")(x, emb)
                 residuals.append(x)
             if i < n_blocks - 1:
@@ -122,14 +123,16 @@ class ControlNet(nn.Module):
                                  name=f"down_{i}_downsample")(x)
                 residuals.append(x)
 
-        x = ResnetBlock2D(bo[-1], dtype=self.dtype, name="mid_resnet_0")(x, emb)
+        x = ResnetBlock2D(bo[-1], dtype=self.dtype, use_pallas=self.use_pallas,
+                          name="mid_resnet_0")(x, emb)
         x = Transformer2D(cfg.heads_for_block(n_blocks - 1),
                           bo[-1] // cfg.heads_for_block(n_blocks - 1),
                           depth=cfg.transformer_layers_per_block[-1],
                           use_linear_projection=cfg.use_linear_projection,
                           dtype=self.dtype, use_pallas=self.use_pallas,
                           name="mid_attn")(x, context)
-        x = ResnetBlock2D(bo[-1], dtype=self.dtype, name="mid_resnet_1")(x, emb)
+        x = ResnetBlock2D(bo[-1], dtype=self.dtype, use_pallas=self.use_pallas,
+                          name="mid_resnet_1")(x, emb)
 
         down = tuple(conditioning_scale * zero_conv(r, f"controlnet_down_{k}")
                      for k, r in enumerate(residuals))

@@ -50,7 +50,8 @@ class CrossAttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, context):
-        x = ResnetBlock2D(self.out_channels, dtype=self.dtype, name="resnet")(x, temb)
+        x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                          use_pallas=self.use_pallas, name="resnet")(x, temb)
         x = Transformer2D(self.num_heads, self.out_channels // self.num_heads,
                           depth=self.depth,
                           use_linear_projection=self.use_linear_projection,
@@ -135,6 +136,7 @@ class UNet2DCondition(nn.Module):
                            self.use_pallas, name=f"down_{i}_{j}")(x, e, context)
                 else:
                     x = Res(bo[i], dtype=self.dtype,
+                            use_pallas=self.use_pallas,
                             name=f"down_{i}_{j}_resnet")(x, e)
                 outs.append(x)
             if i < n_blocks - 1:
@@ -144,14 +146,16 @@ class UNet2DCondition(nn.Module):
             return x, tuple(outs)
 
         def mid_block(x, e):
-            x = Res(bo[-1], dtype=self.dtype, name="mid_resnet_0")(x, e)
+            x = Res(bo[-1], dtype=self.dtype, use_pallas=self.use_pallas,
+                    name="mid_resnet_0")(x, e)
             x = Transformer2D(cfg.heads_for_block(n_blocks - 1),
                               bo[-1] // cfg.heads_for_block(n_blocks - 1),
                               depth=cfg.transformer_layers_per_block[-1],
                               use_linear_projection=cfg.use_linear_projection,
                               dtype=self.dtype, use_pallas=self.use_pallas,
                               name="mid_attn")(x, context)
-            x = Res(bo[-1], dtype=self.dtype, name="mid_resnet_1")(x, e)
+            x = Res(bo[-1], dtype=self.dtype, use_pallas=self.use_pallas,
+                    name="mid_resnet_1")(x, e)
             if mid_block_residual is not None:
                 # residuals are NHWC (our ControlNet's native layout)
                 x = x + mid_block_residual.astype(x.dtype)
@@ -168,6 +172,7 @@ class UNet2DCondition(nn.Module):
                            self.use_pallas, name=f"up_{i}_{j}")(x, e, context)
                 else:
                     x = Res(bo[i], dtype=self.dtype,
+                            use_pallas=self.use_pallas,
                             name=f"up_{i}_{j}_resnet")(x, e)
             if i > 0:
                 x = Upsample2D(bo[i], dtype=self.dtype,
@@ -175,8 +180,8 @@ class UNet2DCondition(nn.Module):
             return x
 
         def out_block(x):
-            x = GroupNorm32(name="conv_norm_out")(x)
-            x = nn.silu(x)
+            x = GroupNorm32(use_pallas=self.use_pallas, silu=True,
+                            name="conv_norm_out")(x)
             x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                         dtype=self.dtype, name="conv_out")(x)
             return jnp.transpose(x, (0, 3, 1, 2))
