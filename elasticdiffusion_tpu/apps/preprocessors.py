@@ -6,15 +6,45 @@ Reference (/root/reference/elastic_diffusion_w_controlnet.py:1102-1117):
 
 This environment has no cv2; canny is implemented natively (3x3 Sobel, L1
 magnitude, 4-direction NMS, double-threshold hysteresis — cv2.Canny's
-default algorithm). Depth needs pretrained DPT weights: it is gated behind a
-local checkpoint/callable and raises a clear error otherwise.
+default algorithm). Depth runs through the native Flax DPT
+(models/dpt.py): converted Intel/dpt-large weights when ED_DPT_DIR points
+at a checkpoint directory, random-init otherwise (plumbing mode — the
+zero-egress environment has no pretrained weights). A caller-supplied
+depth_fn still overrides both.
 """
 
 from __future__ import annotations
 
+import os
+import warnings
 from typing import Callable, Optional
 
 import numpy as np
+
+_builtin_depth_fn: Optional[Callable] = None
+
+
+def default_depth_fn() -> Callable:
+    """Lazily-built depth estimator: the Flax DPT (models/dpt.py) with
+    converted weights from $ED_DPT_DIR, or random-init as a last resort
+    (reference analog: transformers pipeline('depth-estimation'),
+    /root/reference/elastic_diffusion_w_controlnet.py:183)."""
+    global _builtin_depth_fn
+    if _builtin_depth_fn is None:
+        from elasticdiffusion_tpu.models.dpt import DPT_LARGE, make_depth_fn
+        ckpt = os.environ.get("ED_DPT_DIR")
+        params = None
+        if ckpt:
+            from elasticdiffusion_tpu.models.convert import (
+                convert_dpt, load_state_dict,
+            )
+            params = convert_dpt(load_state_dict(ckpt), DPT_LARGE)
+        else:
+            warnings.warn(
+                "no DPT checkpoint (set ED_DPT_DIR); using a random-init "
+                "depth estimator — depth maps will be structured noise")
+        _builtin_depth_fn = make_depth_fn(params, DPT_LARGE)
+    return _builtin_depth_fn
 
 
 def canny(image: np.ndarray, low: float = 100.0, high: float = 200.0) -> np.ndarray:
@@ -74,10 +104,7 @@ def process_condition_image(condition_image, controlnet_model: str,
         return Image.fromarray(np.stack([e, e, e], axis=-1))
     if controlnet_model == "depth":
         if depth_fn is None:
-            raise RuntimeError(
-                "depth ControlNet needs a depth estimator: pass depth_fn "
-                "(image -> (H,W) depth array) or precompute the depth map; "
-                "pretrained DPT weights are not bundled in this environment")
+            depth_fn = default_depth_fn()
         d = np.asarray(depth_fn(condition_image), dtype=np.float32)
         d = (255 * (d - d.min()) / max(d.max() - d.min(), 1e-8)).astype(np.uint8)
         return Image.fromarray(np.stack([d, d, d], axis=-1))

@@ -387,3 +387,77 @@ def validate_structure(converted: Dict[str, Any], initialized: Dict[str, Any],
         if a[k].shape != b[k].shape:
             raise ValueError(f"{name}: shape mismatch at {'/'.join(k)}: "
                              f"{a[k].shape} vs {b[k].shape}")
+
+
+# ---------------------------------------------------------------------------
+# DPT depth estimator (transformers DPTForDepthEstimation, non-hybrid)
+# ---------------------------------------------------------------------------
+
+
+def convert_dpt(sd: Dict[str, np.ndarray], cfg=None) -> Dict[str, Any]:
+    """transformers DPTForDepthEstimation state dict -> models/dpt.py params.
+
+    Covers the non-hybrid readout_type='project' family (Intel/dpt-large,
+    the default of `pipeline('depth-estimation')` the reference uses at
+    /root/reference/elastic_diffusion_w_controlnet.py:183).
+    """
+    from elasticdiffusion_tpu.models.dpt import DPT_LARGE
+    cfg = cfg or DPT_LARGE
+    out: Dict[str, Any] = {}
+    pre = "dpt." if any(k.startswith("dpt.") for k in sd) else ""
+
+    _set(out, "cls_token", sd[f"{pre}embeddings.cls_token"])
+    _set(out, "position_embeddings", sd[f"{pre}embeddings.position_embeddings"])
+    _set(out, "patch_embeddings.kernel",
+         _conv(sd[f"{pre}embeddings.patch_embeddings.projection.weight"]))
+    _set(out, "patch_embeddings.bias",
+         sd[f"{pre}embeddings.patch_embeddings.projection.bias"])
+
+    for i in range(cfg.num_layers):
+        src = f"{pre}encoder.layer.{i}"
+        dst = f"layer_{i}"
+        for t_name, f_name in (("attention.attention.query", "query"),
+                               ("attention.attention.key", "key"),
+                               ("attention.attention.value", "value"),
+                               ("attention.output.dense", "attn_out"),
+                               ("intermediate.dense", "intermediate"),
+                               ("output.dense", "output")):
+            _set(out, f"{dst}.{f_name}.kernel", _lin(sd[f"{src}.{t_name}.weight"]))
+            _set(out, f"{dst}.{f_name}.bias", sd[f"{src}.{t_name}.bias"])
+        for ln in ("layernorm_before", "layernorm_after"):
+            _set(out, f"{dst}.{ln}.scale", sd[f"{src}.{ln}.weight"])
+            _set(out, f"{dst}.{ln}.bias", sd[f"{src}.{ln}.bias"])
+
+    for j in range(len(cfg.neck_hidden_sizes)):
+        rp = f"neck.reassemble_stage.readout_projects.{j}.0"
+        _set(out, f"readout_project_{j}.kernel", _lin(sd[f"{rp}.weight"]))
+        _set(out, f"readout_project_{j}.bias", sd[f"{rp}.bias"])
+        rl = f"neck.reassemble_stage.layers.{j}"
+        _set(out, f"reassemble_proj_{j}.kernel", _conv(sd[f"{rl}.projection.weight"]))
+        _set(out, f"reassemble_proj_{j}.bias", sd[f"{rl}.projection.bias"])
+        fac = cfg.reassemble_factors[j]
+        if fac > 1:
+            # torch ConvTranspose2d weight (I, O, kh, kw) -> flax (kh, kw, I, O)
+            w = sd[f"{rl}.resize.weight"]
+            _set(out, f"reassemble_resize_{j}.kernel", w.transpose(2, 3, 0, 1))
+            _set(out, f"reassemble_resize_{j}.bias", sd[f"{rl}.resize.bias"])
+        elif fac < 1:
+            _set(out, f"reassemble_resize_{j}.kernel", _conv(sd[f"{rl}.resize.weight"]))
+            _set(out, f"reassemble_resize_{j}.bias", sd[f"{rl}.resize.bias"])
+        _set(out, f"neck_conv_{j}.kernel", _conv(sd[f"neck.convs.{j}.weight"]))
+
+        fl = f"neck.fusion_stage.layers.{j}"
+        _set(out, f"fusion_{j}.projection.kernel", _conv(sd[f"{fl}.projection.weight"]))
+        _set(out, f"fusion_{j}.projection.bias", sd[f"{fl}.projection.bias"])
+        layers = ("residual_layer2",) if j == 0 else ("residual_layer1",
+                                                      "residual_layer2")
+        for rn in layers:  # fusion_0 never calls residual_layer1 (no skip input)
+            for cn in ("convolution1", "convolution2"):
+                _set(out, f"fusion_{j}.{rn}.{cn}.kernel",
+                     _conv(sd[f"{fl}.{rn}.{cn}.weight"]))
+                _set(out, f"fusion_{j}.{rn}.{cn}.bias", sd[f"{fl}.{rn}.{cn}.bias"])
+
+    for t_idx, f_name in ((0, "head_conv1"), (2, "head_conv2"), (4, "head_conv3")):
+        _set(out, f"{f_name}.kernel", _conv(sd[f"head.head.{t_idx}.weight"]))
+        _set(out, f"{f_name}.bias", sd[f"head.head.{t_idx}.bias"])
+    return out

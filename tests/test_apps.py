@@ -58,9 +58,9 @@ def test_process_condition_image():
     rgb = (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8)
     out = process_condition_image(rgb, "canny")
     assert out.size == (32, 32)
-    with pytest.raises(RuntimeError):
-        process_condition_image(rgb, "depth")
-    # depth with an injected estimator works
+    # depth with an injected estimator works (the built-in Flax DPT default
+    # is exercised in tests/test_dpt.py with a small config; building the
+    # full-size default here would be too slow for CPU CI)
     out2 = process_condition_image(rgb, "depth",
                                    depth_fn=lambda im: np.asarray(im)[..., 0])
     assert out2.size == (32, 32)
