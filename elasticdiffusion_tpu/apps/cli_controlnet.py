@@ -21,14 +21,16 @@ def main(argv=None):
     pipe = make_pipe(opt, controlnet_model=opt.controlnet_model)
     pipe.seed_everything(opt.seed)
 
-    # condition prepared at the downsampled size * 8, then upsampled/cropped
-    # per view inside the pipeline (w_controlnet.py:1390-1393)
+    # condition prepared AT the downsampled size * 8 and handed to the
+    # pipeline at that size; the pipeline zero-pads it for the direction
+    # path and nearest-upsamples + view-crops it for the local path
+    # (w_controlnet.py:1390-1393, 1183-1193, 932-949)
     img = Image.open(opt.condition_image)
     dh, dw = pipe.get_downsample_size(opt.H, opt.W)
     vsf = pipe.vae_scale_factor
-    img_small = img.resize((dw * vsf, dh * vsf), Image.LANCZOS)
+    img_small = img.resize((dw * vsf, dh * vsf)).convert("RGB")
     cond = process_condition_image(img_small, opt.controlnet_model)
-    cond_full = prepare_image(cond, opt.W, opt.H, batch_size=opt.num_sampled)
+    cond_low = prepare_image(cond, dw * vsf, dh * vsf, batch_size=1)
 
     prompts = [opt.prompt] * opt.num_sampled
     imgs, image_log = pipe.generate_image(
@@ -39,7 +41,7 @@ def main(argv=None):
         cosine_scale=opt.cosine_scale, rrg_init_weight=opt.rrg_scale,
         rrg_stop_t=opt.rrg_stop_t, repaint_sampling=opt.repaint_sampling,
         tiled_decoder=opt.tiled_decoder, progress=tqdm,
-        condition_image=cond_full,
+        condition_image=cond_low,
         controlnet_conditioning_scale=opt.controlnet_conditioning_scale)
     if opt.verbose:
         timelog.print_results()

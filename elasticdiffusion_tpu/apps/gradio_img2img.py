@@ -47,7 +47,9 @@ def build_app(sd_version: str = "XL1.0", checkpoint_dir=None, server_port=7861):
         vsf = p.vae_scale_factor
         cond = process_condition_image(
             img.resize((dw * vsf, dh * vsf)), condition_type)
-        cond_full = prepare_image(cond, int(width), int(height))
+        # hand the condition to the pipeline AT downsample_size*8; it derives
+        # the direction/local tensors itself (w_controlnet.py:1183-1193)
+        cond_low = prepare_image(cond, dw * vsf, dh * vsf)
         imgs, _ = p.generate_image(
             prompts=prompt, negative_prompts=negative,
             height=int(height), width=int(width),
@@ -55,7 +57,7 @@ def build_app(sd_version: str = "XL1.0", checkpoint_dir=None, server_port=7861):
             resampling_steps=int(resampling_steps), new_p=resampling_keep_p,
             rrg_init_weight=rrg_scale, rrg_stop_t=0.4,
             cosine_scale=cosine_scale, tiled_decoder=tiled_decoder,
-            condition_image=cond_full,
+            condition_image=cond_low,
             controlnet_conditioning_scale=cn_scale)
         print(f"Time taken: {time.time() - t0} seconds")
         return imgs

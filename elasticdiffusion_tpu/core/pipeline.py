@@ -394,15 +394,25 @@ class ElasticDiffusion:
                                                   default_size)
             uncond_pooled_arg = uncond_pooled
 
-        # ControlNet condition
+        # ControlNet condition: the reference prepares it at
+        # downsample_size*8 (w_controlnet.py:1183-1193) and the pipeline
+        # derives both the direction-path (zero-padded low-res) and the
+        # local-path (nearest-upsampled + view-cropped) tensors from it.
+        # A full-res input is accepted and nearest-downsampled (documented
+        # convenience deviation).
         cn_cond = None
         if condition_image is not None:
+            from elasticdiffusion_tpu.ops.resize import nearest_resize
             cn_cond = jnp.asarray(condition_image, jnp.float32)
             if cn_cond.ndim == 3:
                 cn_cond = cn_cond[None]
-            assert cn_cond.shape == (B, 3, height, width), (
-                f"condition must be (B,3,{height},{width}) in [0,1], "
-                f"got {cn_cond.shape}")
+            low = (down_h * vsf, down_w * vsf)
+            assert cn_cond.shape[1] == 3 and cn_cond.shape[0] in (1, B), (
+                f"condition must be (1|{B},3,h,w) in [0,1], got {cn_cond.shape}")
+            if tuple(cn_cond.shape[2:]) != low:
+                cn_cond = nearest_resize(cn_cond, low)
+            if cn_cond.shape[0] == 1 and B > 1:
+                cn_cond = jnp.broadcast_to(cn_cond, (B,) + cn_cond.shape[1:])
 
         # initial latent (/root/reference/elastic_diffusion.py:998-1000)
         key = jax.random.fold_in(self._base_key, 1)

@@ -34,10 +34,7 @@ from elasticdiffusion_tpu.core.background import (
     crop_from_padding, pad_with_background,
 )
 from elasticdiffusion_tpu.core.signals import DirectionResult, undo_step
-from elasticdiffusion_tpu.ops.resample import (
-    apply_resample, fill_in, mix_with_prev, sample_pick_indices,
-    update_exclude_mask,
-)
+from elasticdiffusion_tpu.ops.resample import apply_resample, fill_in
 from elasticdiffusion_tpu.ops.resize import nearest_resize
 from elasticdiffusion_tpu.ops.views import gather_views, scatter_first_writer
 from elasticdiffusion_tpu.parallel.sharding import shard_views
@@ -79,14 +76,17 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
     cn_lowres_cfg = None
     cn_views = None
     if controlnet_cond is not None:
-        # condition prepared at downsample_size*8 and nearest-resized
-        # (/root/reference/elastic_diffusion_w_controlnet.py:1183-1193, 932-949)
-        cond_lowres = nearest_resize(
-            controlnet_cond,
-            (statics.down_pad.out_shape[0] * b.vae_scale_factor,
-             statics.down_pad.out_shape[1] * b.vae_scale_factor))
-        cn_lowres_cfg = jnp.concatenate([cond_lowres, cond_lowres])
+        # condition arrives at downsample_size*8
+        # (/root/reference/elastic_diffusion_w_controlnet.py:1183-1193);
+        # direction path zero-pads it alongside the latent padding
+        # (:457-462), local path nearest-upsamples [0:1] to full res and
+        # view-crops at 8x latent coords (:932-949)
         vsf = b.vae_scale_factor
+        l, r, tp, bp = statics.down_pad.pads
+        cond_pad = jnp.pad(
+            controlnet_cond,
+            ((0, 0), (0, 0), (tp * vsf, bp * vsf), (l * vsf, r * vsf)))
+        cn_lowres_cfg = jnp.concatenate([cond_pad, cond_pad])
         rows = (np.repeat(vp.rows * vsf, vsf, axis=1)
                 + np.tile(np.arange(vsf), vp.rows.shape[1]))
         cols = (np.repeat(vp.cols * vsf, vsf, axis=1)
@@ -94,8 +94,9 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
 
         @jax.jit
         def _gather_cn(cond):
+            up = nearest_resize(cond[:1], (H * vsf, W * vsf))
             def one(r, c):
-                return cond[:, :, r, :][:, :, :, c]
+                return up[:, :, r, :][:, :, :, c]
             cnv = jax.vmap(one)(jnp.asarray(rows), jnp.asarray(cols))
             return cnv.reshape((-1,) + cnv.shape[2:])
         cn_views = _gather_cn(controlnet_cond)
@@ -129,48 +130,81 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
     def split4(key):
         return jax.random.split(key, 4)
 
-    @jax.jit
-    def dir_pre(lat, excl, prev, key, s, bg_down):
-        """One resampling substep's pre-UNet work: pick sub-pixels, update the
-        exclude mask, downsample, CFG-double, background-pad.
-        Mirrors signals.approximate_latent_direction's substep draw-for-draw
-        (/root/reference/elastic_diffusion.py:661-679)."""
-        key, k_pick, k_drop = jax.random.split(key, 3)
-        new_pick = sample_pick_indices(k_pick, excl, N)
-        mixed = mix_with_prev(k_drop, new_pick, prev, statics.drop_p)
-        pick = jnp.where(s == 0, jnp.zeros((N,), jnp.int32), mixed)
-        excl = update_exclude_mask(excl, pick)
-        down, mask = apply_resample(lat.astype(jnp.float32), plan, pick)
-        x2 = jnp.concatenate([down, down]).astype(cd)
-        x_in = pad_with_background(x2, statics.down_pad, bg_down)
-        return x_in, down, mask, excl, pick, key
+    def make_dir_fns(n_sub: int):
+        """Batched direction-phase glue for a given substep count (see
+        signals.approximate_latent_direction: the substeps' only sequential
+        dependence is the RNG pick chain, so the UNet work is ONE batch of
+        2*n_sub*B)."""
 
-    @jax.jit
-    def dir_pre_scripted(lat, excl, pick, bg_down):
-        excl = update_exclude_mask(excl, pick)
-        down, mask = apply_resample(lat.astype(jnp.float32), plan, pick)
-        x2 = jnp.concatenate([down, down]).astype(cd)
-        x_in = pad_with_background(x2, statics.down_pad, bg_down)
-        return x_in, down, mask, excl
+        def prep_common(lat, picks, bg_down):
+            lat32 = lat.astype(jnp.float32)
+            downs, masks = jax.vmap(
+                lambda p: apply_resample(lat32, plan, p))(picks)
+            BB, C = lat.shape[0], lat.shape[1]
+            flat = downs.reshape((n_sub * BB,) + downs.shape[2:])
+            x2 = jnp.concatenate([flat, flat]).astype(cd)
+            return pad_with_background(x2, statics.down_pad, bg_down), \
+                downs, masks
 
-    @jax.jit
-    def dir_post(target, filled, eps_pad, mask):
-        """Post-UNet: crop padding, CFG split, scatter-fill, upsample."""
-        eps = crop_from_padding(eps_pad, statics.down_pad).astype(jnp.float32)
-        nB = eps.shape[0] // 2
-        eps_u, eps_c = eps[:nB], eps[nB:]
-        direction = eps_c - eps_u
-        target, filled = fill_in(target, filled, direction, mask,
-                                 fill_all=False)
-        up = nearest_resize(direction, (H, W))
-        return target, filled, eps_u, up
+        from elasticdiffusion_tpu.core.signals import resolve_resample_picks
 
-    @jax.jit
-    def dir_finalize(target, filled, up_last):
-        """fill_all (/root/reference/elastic_diffusion.py:681, 639-645)."""
-        target = jnp.where(filled, target, up_last)
-        down_dir = nearest_resize(target, (plan.out_h, plan.out_w))
-        return target, down_dir
+        @jax.jit
+        def prep(lat, key, bg_down):
+            picks = resolve_resample_picks(key, n_sub, N, statics.drop_p)
+            return prep_common(lat, picks, bg_down)
+
+        @jax.jit
+        def prep_scripted(lat, picks, bg_down):
+            return prep_common(lat, jnp.asarray(picks)[:n_sub], bg_down)
+
+        @jax.jit
+        def finish(eps_pad, downs, masks):
+            eps = crop_from_padding(eps_pad,
+                                    statics.down_pad).astype(jnp.float32)
+            nB = eps.shape[0] // 2
+            shp = (n_sub, nB // n_sub) + eps.shape[1:]
+            eps_u = eps[:nB].reshape(shp)
+            eps_c = eps[nB:].reshape(shp)
+            directions = eps_c - eps_u
+
+            def fill_body(s, carry):
+                target, filled = carry
+                return fill_in(target, filled, directions[s], masks[s],
+                               fill_all=False)
+            BB = shp[1]
+            C = shp[2]
+            target, filled = jax.lax.fori_loop(
+                0, n_sub, fill_body,
+                (jnp.zeros((BB, C, H, W), jnp.float32),
+                 jnp.zeros((H, W), bool)))
+            up_last = nearest_resize(directions[-1], (H, W))
+            target = jnp.where(filled, target, up_last)
+            down_dir = nearest_resize(target, (plan.out_h, plan.out_w))
+            return DirectionResult(direction=target,
+                                   init_downsampled_latent=downs[0],
+                                   downsampled_latent=downs[-1],
+                                   uncond_score=eps_u[-1],
+                                   downsampled_direction=down_dir)
+
+        # conditioning for batch 2*n_sub*B (builder-time constants)
+        BB = text_cfg.shape[0] // 2
+        uncond, cond = text_cfg[:BB], text_cfg[BB:]
+        ctx = jnp.concatenate([jnp.tile(uncond, (n_sub, 1, 1)),
+                               jnp.tile(cond, (n_sub, 1, 1))])
+        ate = None
+        if add_text_cfg is not None:
+            au, ac = add_text_cfg[:BB], add_text_cfg[BB:]
+            ate = jnp.concatenate([jnp.tile(au, (n_sub, 1)),
+                                   jnp.tile(ac, (n_sub, 1))])
+        tid = None
+        if add_time_ids is not None:
+            tid = jnp.broadcast_to(
+                add_time_ids, (2 * n_sub * BB,) + add_time_ids.shape[1:])
+        cn = None
+        if cn_lowres_cfg is not None:
+            low = cn_lowres_cfg[:BB]
+            cn = jnp.concatenate([jnp.tile(low, (n_sub, 1, 1, 1))] * 2)
+        return prep, prep_scripted, finish, (ctx, ate, tid, cn)
 
     @jax.jit
     def views_pre(lat, bg_view):
@@ -216,33 +250,20 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
     # host-orchestrated phases
     # ------------------------------------------------------------------
 
-    def _approx_direction(lat, key, t, inp, n_sub, picks):
+    dir_main = make_dir_fns(statics.resampling_steps + 1)
+    dir_repaint = dir_main if statics.resampling_steps == 0 else \
+        (make_dir_fns(1) if repaint else None)
+
+    def _approx_direction(fns, lat, key, inp, t, picks):
+        prep, prep_scripted, finish, (ctx, ate, tid, cn) = fns
         bg_down = inp.get("bg_down", {})
-        BB, C = lat.shape[0], lat.shape[1]
-        target = jnp.zeros((BB, C, H, W), jnp.float32)
-        filled = jnp.zeros((H, W), bool)
-        excl = jnp.zeros((N, 4), bool)
-        prev_pick = jnp.zeros((N,), jnp.int32)
-        init_down = down = eps_u = up = None
-        tid2 = None if add_time_ids is None else \
-            jnp.broadcast_to(add_time_ids, (2 * BB,) + add_time_ids.shape[1:])
-        for s in range(n_sub):
-            if picks is not None:
-                x_in, down, mask, excl = dir_pre_scripted(
-                    lat, excl, jnp.asarray(picks[s]), bg_down)
-            else:
-                x_in, down, mask, excl, prev_pick, key = dir_pre(
-                    lat, excl, prev_pick, key, jnp.int32(s), bg_down)
-            eps_pad = _unet(x_in, t, text_cfg, add_text_cfg, tid2,
-                            cn_lowres_cfg)
-            target, filled, eps_u, up = dir_post(target, filled, eps_pad, mask)
-            if s == 0:
-                init_down = down
-        target, down_dir = dir_finalize(target, filled, up)
-        return DirectionResult(direction=target,
-                               init_downsampled_latent=init_down,
-                               downsampled_latent=down, uncond_score=eps_u,
-                               downsampled_direction=down_dir), key
+        if picks is not None:
+            x_in, downs, masks = prep_scripted(lat, jnp.asarray(picks),
+                                               bg_down)
+        else:
+            x_in, downs, masks = prep(lat, key, bg_down)
+        eps_pad = _unet(x_in, t, ctx, ate, tid, cn)
+        return finish(eps_pad, downs, masks)
 
     def _local_signal(lat, t, inp):
         bg_view = inp.get("bg_view", {})
@@ -273,8 +294,7 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         t0 = time.time()
 
         picks = inp.get("picks_main") if scripted else None
-        res, _ = _approx_direction(lat, k_dir, t, inp, statics.resampling_steps + 1,
-                                   picks)
+        res = _approx_direction(dir_main, lat, k_dir, inp, t, picks)
         t0 = _tick("direction", t0, res.direction)
         local = _local_signal(lat, t, inp)
         t0 = _tick("views", t0, local)
@@ -292,7 +312,8 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                                 inp["undo_sb"])
             t0 = _tick("sched", t0, lat2)
             picks2 = inp.get("picks_repaint") if scripted else None
-            res2, _ = _approx_direction(lat2, k_rep_dir, t, inp, 1, picks2)
+            res2 = _approx_direction(dir_repaint, lat2, k_rep_dir, inp, t,
+                                     picks2)
             t0 = _tick("direction", t0, res2.direction)
             local2 = _local_signal(lat2, t, inp)
             t0 = _tick("views", t0, local2)

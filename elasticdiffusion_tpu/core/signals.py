@@ -110,6 +110,31 @@ def obtain_latent_direction(bundle, latent, t, text_embeds_cfg, pad_spec,
     return eps_c - eps_u, eps_u, eps_c
 
 
+def resolve_resample_picks(key, n_sub: int, num_blocks: int, drop_p: float,
+                           scripted_picks=None) -> jnp.ndarray:
+    """The resampling loop's ONLY sequential dependence: the RNG/exclude-mask
+    pick chain (/root/reference/elastic_diffusion.py:661-675). Returns all
+    substeps' picks (n_sub, N) so the UNet work can run as one batch.
+    Key-split order matches the original per-substep loop draw-for-draw."""
+    if scripted_picks is not None:
+        return jnp.asarray(scripted_picks)[:n_sub]
+
+    def body(s, carry):
+        excl, prev, key, picks = carry
+        key, k_pick, k_drop = jax.random.split(key, 3)
+        new_pick = sample_pick_indices(k_pick, excl, num_blocks)
+        mixed = mix_with_prev(k_drop, new_pick, prev, drop_p)
+        pick = jnp.where(s == 0, jnp.zeros((num_blocks,), jnp.int32), mixed)
+        excl = update_exclude_mask(excl, pick)
+        return excl, pick, key, picks.at[s].set(pick)
+
+    _, _, _, picks = jax.lax.fori_loop(
+        0, n_sub, body,
+        (jnp.zeros((num_blocks, 4), bool), jnp.zeros((num_blocks,), jnp.int32),
+         key, jnp.zeros((n_sub, num_blocks), jnp.int32)))
+    return picks
+
+
 class DirectionResult(NamedTuple):
     direction: jnp.ndarray           # (B, C, H, W) fp32, fully filled
     init_downsampled_latent: jnp.ndarray
@@ -129,8 +154,17 @@ def approximate_latent_direction(bundle, latent, key, t, text_embeds_cfg,
 
     Substep 0 uses the deterministic nearest pick (fix_initial); later
     substeps sample fresh sub-pixels avoiding the exclude mask and keep the
-    previous pick with probability drop_p. lax.fori_loop over substeps (true
-    sequential dependence), one CFG-batched UNet call per substep.
+    previous pick with probability drop_p.
+
+    TPU-first restructure: the reference runs the substeps as a sequential
+    loop, but the only true sequential dependence is the RNG/exclude-mask
+    chain — the UNet inputs are all downsamples of the SAME latent
+    (reference line 665: `random_nearest_downsample(latent, ...)` inside the
+    loop never sees UNet outputs). So: (1) a cheap fori_loop derives every
+    substep's pick, (2) ONE CFG-batched UNet call of batch 2*(rs+1)*B
+    evaluates all substeps (MXU-efficient and shardable over the mesh),
+    (3) a cheap fori_loop applies the fills in substep order. Draw-for-draw
+    identical randomness and fill order to the sequential form.
     """
     B, C, H, W = latent.shape
     N = plan.num_blocks
@@ -138,52 +172,69 @@ def approximate_latent_direction(bundle, latent, key, t, text_embeds_cfg,
     latent32 = latent.astype(jnp.float32)
 
     if controlnet_cond is not None:
-        # condition prepared at downsampled size*8 (w_controlnet.py:1183-1193)
-        cond_lowres = nearest_resize(
+        # condition arrives prepared at downsample_size*8
+        # (w_controlnet.py:1183-1193) and is ZERO-padded alongside the
+        # latent's background padding (w_controlnet.py:457-462)
+        vsf = bundle.vae_scale_factor
+        l, r, tp, bp = pad_spec.pads
+        cond_lowres = jnp.pad(
             controlnet_cond,
-            (pad_spec.out_shape[0] * bundle.vae_scale_factor,
-             pad_spec.out_shape[1] * bundle.vae_scale_factor))
+            ((0, 0), (0, 0), (tp * vsf, bp * vsf), (l * vsf, r * vsf)))
     else:
         cond_lowres = None
 
-    def substep(s, carry):
-        target, filled, excl, prev, key, _, _, _, _ = carry
-        key, k_pick, k_drop = jax.random.split(key, 3)
-        if scripted_picks is not None:
-            pick = scripted_picks[s]
-        else:
-            new_pick = sample_pick_indices(k_pick, excl, N)
-            mixed = mix_with_prev(k_drop, new_pick, prev, drop_p)
-            pick = jnp.where(s == 0, jnp.zeros((N,), jnp.int32), mixed)
-        excl = update_exclude_mask(excl, pick)
-        down, mask = apply_resample(latent32, plan, pick)
-        direction, eps_u, _ = obtain_latent_direction(
-            bundle, down, t, text_embeds_cfg, pad_spec, step_bgs,
-            add_text_embeds_cfg=add_text_embeds_cfg, add_time_ids=add_time_ids,
-            controlnet_cond=cond_lowres, controlnet_scale=controlnet_scale)
-        target, filled = fill_in(target, filled, direction, mask, fill_all=False)
-        up = nearest_resize(direction, (H, W))
-        return (target, filled, excl, pick, key, down, eps_u, up,
-                jnp.where(s == 0, down, carry[8]))
+    picks = resolve_resample_picks(key, n_sub, N, drop_p, scripted_picks)
 
-    carry0 = (jnp.zeros((B, C, H, W), jnp.float32),        # target
-              jnp.zeros((H, W), bool),                      # filled
-              jnp.zeros((N, 4), bool),                      # exclude mask
-              jnp.zeros((N,), jnp.int32),                   # prev pick
-              key,
-              jnp.zeros((B, C, plan.out_h, plan.out_w), jnp.float32),  # down
-              jnp.zeros((B, C, plan.out_h, plan.out_w), jnp.float32),  # eps_u
-              jnp.zeros((B, C, H, W), jnp.float32),         # last upsampled dir
-              jnp.zeros((B, C, plan.out_h, plan.out_w), jnp.float32))  # init down
-    target, filled, _, _, _, down, eps_u, up_last, init_down = jax.lax.fori_loop(
-        0, n_sub, substep, carry0)
+    # batched downsample: (n_sub, B, C, dh, dw), masks (n_sub, H, W)
+    downs, masks = jax.vmap(lambda p: apply_resample(latent32, plan, p))(picks)
+
+    # ONE CFG-batched UNet call over all substeps: layout
+    # [uncond s0..s{n-1} | cond s0..s{n-1}], each block batch n_sub*B
+    dh, dw = plan.out_h, plan.out_w
+    flat = downs.reshape(n_sub * B, C, dh, dw)
+    x2 = jnp.concatenate([flat, flat]).astype(bundle.runtime.compute_dtype)
+    uncond, cond = text_embeds_cfg[:B], text_embeds_cfg[B:]
+    ctx = jnp.concatenate([jnp.tile(uncond, (n_sub, 1, 1)),
+                           jnp.tile(cond, (n_sub, 1, 1))])
+    ate = None
+    if add_text_embeds_cfg is not None:
+        au, ac = add_text_embeds_cfg[:B], add_text_embeds_cfg[B:]
+        ate = jnp.concatenate([jnp.tile(au, (n_sub, 1)),
+                               jnp.tile(ac, (n_sub, 1))])
+    tid = None
+    if add_time_ids is not None:
+        tid = jnp.broadcast_to(add_time_ids,
+                               (2 * n_sub * B,) + add_time_ids.shape[1:])
+    cn = None
+    if cond_lowres is not None:
+        cn = jnp.concatenate([jnp.tile(cond_lowres, (n_sub, 1, 1, 1))] * 2)
+    eps = unet_step(bundle, x2, t, ctx, pad_spec, step_bgs,
+                    add_text_embeds=ate, add_time_ids=tid,
+                    controlnet_cond=cn, controlnet_scale=controlnet_scale)
+    eps = eps.astype(jnp.float32)
+    eps_u = eps[:n_sub * B].reshape(n_sub, B, C, dh, dw)
+    eps_c = eps[n_sub * B:].reshape(n_sub, B, C, dh, dw)
+    directions = eps_c - eps_u                      # (n_sub, B, C, dh, dw)
+
+    # ordered fills (cheap gathers; later substeps overwrite on overlap,
+    # exactly the reference's sequential semantics)
+    def fill_body(s, carry):
+        target, filled = carry
+        return fill_in(target, filled, directions[s], masks[s],
+                       fill_all=False)
+    target, filled = jax.lax.fori_loop(
+        0, n_sub, fill_body,
+        (jnp.zeros((B, C, H, W), jnp.float32), jnp.zeros((H, W), bool)))
 
     # fill_all at the final substep (/root/reference/elastic_diffusion.py:681,
     # 639-645): remaining unfilled positions take the last upsampled direction
+    up_last = nearest_resize(directions[-1], (H, W))
     target = jnp.where(filled, target, up_last)
-    down_dir = nearest_resize(target, (plan.out_h, plan.out_w))
-    return DirectionResult(direction=target, init_downsampled_latent=init_down,
-                           downsampled_latent=down, uncond_score=eps_u,
+    down_dir = nearest_resize(target, (dh, dw))
+    return DirectionResult(direction=target,
+                           init_downsampled_latent=downs[0],
+                           downsampled_latent=downs[-1],
+                           uncond_score=eps_u[-1],
                            downsampled_direction=down_dir)
 
 
@@ -210,15 +261,20 @@ def compute_local_uncond_signal(bundle, latent, t, uncond_embeds, plan: ViewPlan
 
     cn_views = None
     if controlnet_cond is not None:
-        # full-res condition cropped per view at 8x latent coords
-        # (w_controlnet.py:932-949): gather with the view plan scaled to pixels
+        # low-res condition nearest-UPSAMPLED to full pixel res
+        # (w_controlnet.py:932-933, batch[0:1] broadcast over B), then
+        # cropped per view at 8x latent coords (w_controlnet.py:946-949):
+        # one gather with the view plan scaled to pixels
         vsf = bundle.vae_scale_factor
+        H, W = latent.shape[-2], latent.shape[-1]
+        cond_up = nearest_resize(controlnet_cond[:1], (H * vsf, W * vsf))
+        cond_up = jnp.broadcast_to(cond_up, (B,) + cond_up.shape[1:])
         rows = (np.repeat(plan.rows * vsf, vsf, axis=1)
                 + np.tile(np.arange(vsf), plan.rows.shape[1]))
         cols = (np.repeat(plan.cols * vsf, vsf, axis=1)
                 + np.tile(np.arange(vsf), plan.cols.shape[1]))
         def one(r, c):
-            return controlnet_cond[:, :, r, :][:, :, :, c]
+            return cond_up[:, :, r, :][:, :, :, c]
         cnv = jax.vmap(one)(jnp.asarray(rows), jnp.asarray(cols))
         cn_views = cnv.reshape((V * B,) + cnv.shape[2:])
 
