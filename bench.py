@@ -140,8 +140,28 @@ def step_bench(pipe, height, width, rs, n_measure):
     per_fwd = min(times) / _cost_model(rs, V)
     extras = {"step_seconds": round(min(times), 3)}
     if seg and step.phase_times:
-        extras["phase_seconds"] = {k: round(v, 3)
-                                   for k, v in step.phase_times.items()}
+        ph = dict(step.phase_times)
+        extras["phase_seconds"] = {k: round(v, 3) for k, v in ph.items()}
+        # Honest v5e-8 projection from MEASURED single-chip phase times and
+        # the step's actual parallel widths (no real multi-chip hardware in
+        # this environment — the sharded program itself is validated on the
+        # 8-device CPU mesh by dryrun_multichip):
+        #   direction batch 2*(rs+1)  -> min(.,8)-way   (batched substeps)
+        #   repaint direction batch 2 -> 2-way
+        #   views batch V             -> min(V,8)-way
+        #   sched                     -> serial
+        n_mesh = 8
+        proj_step = (ph.get("direction", 0.0) / min(2 * (rs + 1), n_mesh)
+                     + ph.get("direction_repaint", 0.0) / 2
+                     + (ph.get("views", 0.0) + ph.get("views_repaint", 0.0))
+                     / min(V, n_mesh)
+                     + ph.get("sched", 0.0))
+        fwd_per_image = 50 * _cost_model(rs, V) - (2 + V)
+        proj_image = proj_step / _cost_model(rs, V) * fwd_per_image
+        extras["projected_v5e8_sec_per_image"] = round(proj_image, 1)
+        extras["projection_basis"] = (
+            "measured phase times / parallel width per phase "
+            f"(dir:{min(2 * (rs + 1), n_mesh)} rep-dir:2 views:{min(V, n_mesh)})")
     return per_fwd, V, compile_s, extras
 
 
@@ -222,9 +242,12 @@ def main_with_fallback():
     is cold; a bench that reports a smaller preset beats one that hangs)."""
     import subprocess
     budget = int(os.environ.get("ED_BENCH_TIMEOUT", "2400"))
-    for preset in ("sdxl", "sd15", "cpu-smoke"):
+    for preset, mode in (("sdxl", "step"), ("sdxl", "micro"),
+                         ("sd15", "step"), ("sd15", "micro"),
+                         ("cpu-smoke", "micro")):
         env = dict(os.environ)
         env["ED_BENCH_PRESET"] = preset
+        env["ED_BENCH_MODE"] = mode
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

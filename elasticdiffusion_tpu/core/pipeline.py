@@ -268,7 +268,7 @@ class ElasticDiffusion:
                 add_time_ids=add_time_ids,
                 scripted_picks=inp.get("picks_main") if scripted else None,
                 controlnet_cond=controlnet_cond,
-                controlnet_scale=controlnet_scale)
+                controlnet_scale=controlnet_scale, mesh=self.mesh)
             local = signals.compute_local_uncond_signal(
                 b, lat, t, uncond_text, statics.view_plan, statics.view_pad,
                 bg_view, uncond_pooled=uncond_pooled,
@@ -292,7 +292,7 @@ class ElasticDiffusion:
                     add_time_ids=add_time_ids,
                     scripted_picks=inp.get("picks_repaint") if scripted else None,
                     controlnet_cond=controlnet_cond,
-                    controlnet_scale=controlnet_scale)
+                    controlnet_scale=controlnet_scale, mesh=self.mesh)
                 local2 = signals.compute_local_uncond_signal(
                     b, lat2, t, uncond_text, statics.view_plan,
                     statics.view_pad, bg_view, uncond_pooled=uncond_pooled,
@@ -440,17 +440,33 @@ class ElasticDiffusion:
         )
         use_segmented = should_segment(self.runtime, b.config)
         if use_segmented:
-            mk = lambda rp: build_segmented_step(
-                self, statics, text_cfg, uncond_text, add_text_cfg,
-                uncond_pooled_arg, add_time_ids, repaint=rp,
-                scripted=scripted, controlnet_cond=cn_cond,
-                controlnet_scale=controlnet_conditioning_scale)
-            step_repaint_raw = step_repaint = mk(True) if do_repaint else None
-            step_plain_raw = step_plain = mk(False)
+            # builders are cached per shape/config: their glue programs are
+            # expensive to (re)compile on the remote service, and everything
+            # prompt/condition-dependent is re-aimed via update_conditioning
+            ck = ("seg", height, width, guidance_scale, resampling_steps,
+                  new_p, self.view_config, scripted, do_repaint,
+                  cn_cond is None)
+            cached = self._step_cache.get(ck)
+            if cached is None:
+                mk = lambda rp: build_segmented_step(
+                    self, statics, text_cfg, uncond_text, add_text_cfg,
+                    uncond_pooled_arg, add_time_ids, repaint=rp,
+                    scripted=scripted, controlnet_cond=cn_cond,
+                    controlnet_scale=controlnet_conditioning_scale)
+                cached = (mk(True) if do_repaint else None, mk(False))
+                self._step_cache[ck] = cached
+            step_repaint, step_plain = cached
+            step_repaint_raw, step_plain_raw = step_repaint, step_plain
             for s in (step_repaint, step_plain):
                 if s is not None:
+                    s.update_conditioning(
+                        text_cfg, uncond_text, add_text_cfg=add_text_cfg,
+                        uncond_pooled=uncond_pooled_arg,
+                        add_time_ids=add_time_ids, controlnet_cond=cn_cond,
+                        controlnet_scale=controlnet_conditioning_scale)
                     s.collect_phase_times = getattr(
                         self, "collect_phase_times", False)
+                    s.phase_times.clear()
         else:
             mk = lambda rp: self._build_step_fn(
                 statics, text_cfg, uncond_text, add_text_cfg,

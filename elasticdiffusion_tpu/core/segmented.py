@@ -49,7 +49,8 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
     the same signature/semantics as pipeline._build_step_fn's closure.
 
     The returned callable has attributes:
-      .phase_times  — {'direction': s, 'views': s, 'sched': s} accumulated
+      .phase_times  — {'direction[_repaint]': s, 'views[_repaint]': s,
+                      'sched': s} accumulated
                       wall-clock when .collect_phase_times is True
       .collect_phase_times — enable per-phase device-synced timing (costs a
                       1-element device->host fetch per phase)
@@ -65,28 +66,16 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
     gs = statics.guidance_scale
 
     # ------------------------------------------------------------------
-    # builder-time constants: CFG-batched conditioning for the direction
-    # pass (batch 2B) and views-batched conditioning for the local pass
-    # (batch V*B) are fixed per generation, so they are computed once here
-    # instead of inside the step (the fused path recomputes them per trace)
+    # conditioning state: every text/condition-derived tensor lives in this
+    # mutable dict so a CACHED builder (pipeline._step_cache — glue programs
+    # are expensive to recompile on the remote service) can be re-aimed at a
+    # new prompt/condition via step.update_conditioning without rebuilding
     # ------------------------------------------------------------------
-    ctx_views = jnp.tile(uncond_text, (V, 1, 1))
-    pooled_views = None if uncond_pooled is None else jnp.tile(uncond_pooled, (V, 1))
+    cstate: Dict[str, Any] = {}
+    _dir_nsubs: list = []
 
-    cn_lowres_cfg = None
-    cn_views = None
     if controlnet_cond is not None:
-        # condition arrives at downsample_size*8
-        # (/root/reference/elastic_diffusion_w_controlnet.py:1183-1193);
-        # direction path zero-pads it alongside the latent padding
-        # (:457-462), local path nearest-upsamples [0:1] to full res and
-        # view-crops at 8x latent coords (:932-949)
         vsf = b.vae_scale_factor
-        l, r, tp, bp = statics.down_pad.pads
-        cond_pad = jnp.pad(
-            controlnet_cond,
-            ((0, 0), (0, 0), (tp * vsf, bp * vsf), (l * vsf, r * vsf)))
-        cn_lowres_cfg = jnp.concatenate([cond_pad, cond_pad])
         rows = (np.repeat(vp.rows * vsf, vsf, axis=1)
                 + np.tile(np.arange(vsf), vp.rows.shape[1]))
         cols = (np.repeat(vp.cols * vsf, vsf, axis=1)
@@ -99,7 +88,15 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                 return up[:, :, r, :][:, :, :, c]
             cnv = jax.vmap(one)(jnp.asarray(rows), jnp.asarray(cols))
             return cnv.reshape((-1,) + cnv.shape[2:])
-        cn_views = _gather_cn(controlnet_cond)
+
+        def _cn_fwd(params, x_in, t, ctx, cond, scale, added_text_embeds=None,
+                    added_time_ids=None):
+            return b.controlnet.apply(
+                {"params": params}, x_in, t, ctx, cond,
+                conditioning_scale=scale,
+                added_text_embeds=added_text_embeds,
+                added_time_ids=added_time_ids)
+        _cn_jit = jax.jit(_cn_fwd)
 
     def _unet(x_in, t, ctx, pooled, tids, cn_cond):
         kwargs = {}
@@ -107,20 +104,55 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
             kwargs = {"added_text_embeds": pooled, "added_time_ids": tids}
         if cn_cond is not None:
             down, mid = _cn_jit(b.controlnet_params, x_in, t, ctx, cn_cond,
-                                **kwargs)
+                                cstate["cn_scale"], **kwargs)
             kwargs["down_block_residuals"] = down
             kwargs["mid_block_residual"] = mid
         return b.apply_unet_segmented(x_in, t, ctx, **kwargs)
 
-    if controlnet_cond is not None:
-        def _cn_fwd(params, x_in, t, ctx, cond, added_text_embeds=None,
-                    added_time_ids=None):
-            return b.controlnet.apply(
-                {"params": params}, x_in, t, ctx, cond,
-                conditioning_scale=controlnet_scale,
-                added_text_embeds=added_text_embeds,
-                added_time_ids=added_time_ids)
-        _cn_jit = jax.jit(_cn_fwd)
+    def update_conditioning(text_cfg, uncond_text, add_text_cfg=None,
+                            uncond_pooled=None, add_time_ids=None,
+                            controlnet_cond=None,
+                            controlnet_scale: float = 1.0):
+        """Re-aim this (possibly cached) step at new prompt/condition
+        tensors. Shapes must match the build-time shapes (same B)."""
+        cstate["ctx_views"] = jnp.tile(uncond_text, (V, 1, 1))
+        cstate["pooled_views"] = None if uncond_pooled is None else             jnp.tile(uncond_pooled, (V, 1))
+        cstate["add_time_ids"] = add_time_ids
+        cstate["cn_scale"] = jnp.float32(controlnet_scale)
+        cstate["cn_views"] = None
+        cn_lowres_cfg = None
+        if controlnet_cond is not None:
+            # condition arrives at downsample_size*8
+            # (/root/reference/elastic_diffusion_w_controlnet.py:1183-1193);
+            # direction path zero-pads it alongside the latent padding
+            # (:457-462), local path nearest-upsamples [0:1] to full res and
+            # view-crops at 8x latent coords (:932-949)
+            vsf = b.vae_scale_factor
+            l, r, tp, bp = statics.down_pad.pads
+            cond_pad = jnp.pad(
+                controlnet_cond,
+                ((0, 0), (0, 0), (tp * vsf, bp * vsf), (l * vsf, r * vsf)))
+            cn_lowres_cfg = jnp.concatenate([cond_pad, cond_pad])
+            cstate["cn_views"] = _gather_cn(controlnet_cond)
+        BB = text_cfg.shape[0] // 2
+        uncond, cond = text_cfg[:BB], text_cfg[BB:]
+        for n_sub in _dir_nsubs:
+            ctx = jnp.concatenate([jnp.tile(uncond, (n_sub, 1, 1)),
+                                   jnp.tile(cond, (n_sub, 1, 1))])
+            ate = None
+            if add_text_cfg is not None:
+                au, ac = add_text_cfg[:BB], add_text_cfg[BB:]
+                ate = jnp.concatenate([jnp.tile(au, (n_sub, 1)),
+                                       jnp.tile(ac, (n_sub, 1))])
+            tid = None
+            if add_time_ids is not None:
+                tid = jnp.broadcast_to(
+                    add_time_ids, (2 * n_sub * BB,) + add_time_ids.shape[1:])
+            cn = None
+            if cn_lowres_cfg is not None:
+                low = cn_lowres_cfg[:BB]
+                cn = jnp.concatenate([jnp.tile(low, (n_sub, 1, 1, 1))] * 2)
+            cstate[("dir", n_sub)] = (ctx, ate, tid, cn)
 
     # ------------------------------------------------------------------
     # glue programs (each a small, fast-compiling jit)
@@ -143,8 +175,11 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
             BB, C = lat.shape[0], lat.shape[1]
             flat = downs.reshape((n_sub * BB,) + downs.shape[2:])
             x2 = jnp.concatenate([flat, flat]).astype(cd)
-            return pad_with_background(x2, statics.down_pad, bg_down), \
-                downs, masks
+            x_in = pad_with_background(x2, statics.down_pad, bg_down)
+            # the batched substeps shard over the 'views' mesh axis exactly
+            # like the view fan-out (direction is the sequential bottleneck
+            # in the reference; batching makes it mesh-parallel)
+            return shard_views(x_in, mesh), downs, masks
 
         from elasticdiffusion_tpu.core.signals import resolve_resample_picks
 
@@ -186,25 +221,8 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                                    uncond_score=eps_u[-1],
                                    downsampled_direction=down_dir)
 
-        # conditioning for batch 2*n_sub*B (builder-time constants)
-        BB = text_cfg.shape[0] // 2
-        uncond, cond = text_cfg[:BB], text_cfg[BB:]
-        ctx = jnp.concatenate([jnp.tile(uncond, (n_sub, 1, 1)),
-                               jnp.tile(cond, (n_sub, 1, 1))])
-        ate = None
-        if add_text_cfg is not None:
-            au, ac = add_text_cfg[:BB], add_text_cfg[BB:]
-            ate = jnp.concatenate([jnp.tile(au, (n_sub, 1)),
-                                   jnp.tile(ac, (n_sub, 1))])
-        tid = None
-        if add_time_ids is not None:
-            tid = jnp.broadcast_to(
-                add_time_ids, (2 * n_sub * BB,) + add_time_ids.shape[1:])
-        cn = None
-        if cn_lowres_cfg is not None:
-            low = cn_lowres_cfg[:BB]
-            cn = jnp.concatenate([jnp.tile(low, (n_sub, 1, 1, 1))] * 2)
-        return prep, prep_scripted, finish, (ctx, ate, tid, cn)
+        _dir_nsubs.append(n_sub)
+        return prep, prep_scripted, finish, n_sub
 
     @jax.jit
     def views_pre(lat, bg_view):
@@ -255,7 +273,8 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         (make_dir_fns(1) if repaint else None)
 
     def _approx_direction(fns, lat, key, inp, t, picks):
-        prep, prep_scripted, finish, (ctx, ate, tid, cn) = fns
+        prep, prep_scripted, finish, n_sub = fns
+        ctx, ate, tid, cn = cstate[("dir", n_sub)]
         bg_down = inp.get("bg_down", {})
         if picks is not None:
             x_in, downs, masks = prep_scripted(lat, jnp.asarray(picks),
@@ -269,11 +288,13 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         bg_view = inp.get("bg_view", {})
         BB = lat.shape[0]
         x_in = views_pre(lat, bg_view)
-        # ctx_views = tile(uncond, (V,1,1)) is already (V*B, ...) in the same
-        # V-major order as the view reshape (signals.py:204-207)
-        tid = None if add_time_ids is None else \
-            jnp.broadcast_to(add_time_ids, (V * BB,) + add_time_ids.shape[1:])
-        eps_pad = _unet(x_in, t, ctx_views, pooled_views, tid, cn_views)
+        # cstate['ctx_views'] = tile(uncond, (V,1,1)) is already (V*B, ...)
+        # in the same V-major order as the view reshape (signals.py:204-207)
+        ati = cstate["add_time_ids"]
+        tid = None if ati is None else \
+            jnp.broadcast_to(ati, (V * BB,) + ati.shape[1:])
+        eps_pad = _unet(x_in, t, cstate["ctx_views"], cstate["pooled_views"],
+                        tid, cstate["cn_views"])
         return views_post(eps_pad)
 
     phase_times: Dict[str, float] = {}
@@ -314,9 +335,9 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
             picks2 = inp.get("picks_repaint") if scripted else None
             res2 = _approx_direction(dir_repaint, lat2, k_rep_dir, inp, t,
                                      picks2)
-            t0 = _tick("direction", t0, res2.direction)
+            t0 = _tick("direction_repaint", t0, res2.direction)
             local2 = _local_signal(lat2, t, inp)
-            t0 = _tick("views", t0, local2)
+            t0 = _tick("views_repaint", t0, local2)
             rrg_cfg = gs / 3
             prev, x0 = combine_ddim(local2, res2.direction, lat2, coeffs,
                                     jnp.float32(rrg_cfg))
@@ -332,6 +353,12 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
 
     step.collect_phase_times = False
     step.phase_times = phase_times
+    step.update_conditioning = update_conditioning
+    update_conditioning(text_cfg, uncond_text, add_text_cfg=add_text_cfg,
+                        uncond_pooled=uncond_pooled,
+                        add_time_ids=add_time_ids,
+                        controlnet_cond=controlnet_cond,
+                        controlnet_scale=controlnet_scale)
     return step
 
 

@@ -9,8 +9,9 @@ Reference behavior (SURVEY L5):
   - undo_step / repaint                    :692-704, 1038-1056
 
 TPU-first design notes:
-  - the resampling inner loop is a lax.fori_loop (true data dependence via
-    the exclude mask); its CFG pair is one batched UNet call
+  - the resampling substeps' only sequential dependence is the RNG/exclude
+    -mask pick chain; all 2*(rs+1) CFG forwards run as ONE batched UNet
+    call (see approximate_latent_direction), shardable over the mesh
   - the view loop is ONE batched UNet call over all views (shardable on the
     'views' mesh axis) + owner-map writeback; view_batch_size survives only
     as a lax.map memory knob
@@ -148,7 +149,8 @@ def approximate_latent_direction(bundle, latent, key, t, text_embeds_cfg,
                                  step_bgs, resampling_steps: int, drop_p: float,
                                  add_text_embeds_cfg=None, add_time_ids=None,
                                  scripted_picks=None, controlnet_cond=None,
-                                 controlnet_scale: float = 1.0) -> DirectionResult:
+                                 controlnet_scale: float = 1.0,
+                                 mesh=None) -> DirectionResult:
     """Global CFG direction with randomized resampling
     (/root/reference/elastic_diffusion.py:649-690).
 
@@ -193,6 +195,7 @@ def approximate_latent_direction(bundle, latent, key, t, text_embeds_cfg,
     dh, dw = plan.out_h, plan.out_w
     flat = downs.reshape(n_sub * B, C, dh, dw)
     x2 = jnp.concatenate([flat, flat]).astype(bundle.runtime.compute_dtype)
+    x2 = shard_views(x2, mesh)  # batched substeps shard like the view fan-out
     uncond, cond = text_embeds_cfg[:B], text_embeds_cfg[B:]
     ctx = jnp.concatenate([jnp.tile(uncond, (n_sub, 1, 1)),
                            jnp.tile(cond, (n_sub, 1, 1))])

@@ -65,17 +65,35 @@ class ModelBundle:
     def apply_unet_segmented(self, latent_nchw, t, context,
                              added_text_embeds=None, added_time_ids=None,
                              down_block_residuals=None,
-                             mid_block_residual=None):
+                             mid_block_residual=None, timings=None):
         """UNet forward as a chain of per-block jitted programs (see
         models/unet.py SEGMENTED EXECUTION). Numerically identical to
-        apply_unet; each segment compiles independently."""
+        apply_unet; each segment compiles independently.
+
+        timings: optional dict — per-stage device-synced wall-clock is
+        accumulated into it (profiling; syncing defeats pipelining, leave
+        None in production)."""
         cfg = self.config.unet
         n = len(cfg.block_out_channels)
 
         def ap(stage):
             def f(params, **kw):
                 return self.unet.apply({"params": params}, stage=stage, **kw)
-            return self._jit(f"unet_seg_{stage}", f)
+            fn = self._jit(f"unet_seg_{stage}", f)
+            if timings is None:
+                return fn
+
+            def timed(*a, **kw):
+                import time as _t
+                t0 = _t.time()
+                out = fn(*a, **kw)
+                probe = out
+                while isinstance(probe, (tuple, list)):
+                    probe = probe[0]
+                jax.device_get(probe.reshape(-1)[0])  # tunnel-safe sync
+                timings[stage] = timings.get(stage, 0.0) + _t.time() - t0
+                return out
+            return timed
 
         h, emb = ap("stem")(self.unet_params, sample_nchw=latent_nchw,
                             timesteps=t,

@@ -67,3 +67,37 @@ def test_entry_compiles():
     out, key, aux = jax.jit(fn)(*args)
     assert out.shape == args[0].shape
     assert bool(jnp.isfinite(out).all())
+
+
+def test_direction_batch_sharding_invariance():
+    """The batched resampling substeps (signals.approximate_latent_direction)
+    shard over the 'views' axis; output must equal the unsharded run."""
+    import jax.numpy as jnp
+    from toy_configs import make_toy_bundle
+    from elasticdiffusion_tpu.core import signals
+    from elasticdiffusion_tpu.core.background import PadSpec
+    from elasticdiffusion_tpu.ops.resample import build_resample_plan
+    from elasticdiffusion_tpu.parallel.sharding import make_mesh
+
+    b = make_toy_bundle()
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 24))
+    plan = build_resample_plan(16, 24, 8, 12)
+    pad = PadSpec(plan.out_h, plan.out_w, 8, 8)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 16))
+    key = jax.random.PRNGKey(2)
+
+    def run(mesh):
+        fn = jax.jit(lambda l, k: signals.approximate_latent_direction(
+            b, l, k, jnp.float32(500.0), ctx, plan, pad, {},
+            resampling_steps=3, drop_p=0.7, mesh=mesh))
+        if mesh is None:
+            return fn(lat, key)
+        with mesh:
+            return fn(lat, key)
+
+    base = run(None)
+    mesh = make_mesh((1, 8))
+    sharded = run(mesh)
+    np.testing.assert_allclose(np.asarray(sharded.direction),
+                               np.asarray(base.direction),
+                               atol=2e-5, rtol=1e-4)

@@ -40,17 +40,26 @@ def main():
     print(f"[e2e] bundle ready ({t_init:.0f}s)", flush=True)
 
     pipe.collect_phase_times = True
+
+    def gen():
+        t0 = time.time()
+        imgs, _ = pipe.generate_image(
+            "a panoramic photo of a mountain lake at sunrise",
+            height=1024, width=2048, num_inference_steps=steps,
+            guidance_scale=10.0, resampling_steps=rs, new_p=0.3,
+            rrg_init_weight=2000, rrg_stop_t=0.4, repaint_sampling=True,
+            tiled_decoder=tiled)
+        return imgs, time.time() - t0, dict(pipe.last_metrics)
+
+    # run twice: the first pays one-time compiles (the persistent cache does
+    # not cover this environment's remote UNet-segment compiles across
+    # processes); the second run is the honest runtime number
     pipe.seed_everything(0)
-    t0 = time.time()
-    imgs, log = pipe.generate_image(
-        "a panoramic photo of a mountain lake at sunrise",
-        height=1024, width=2048, num_inference_steps=steps,
-        guidance_scale=10.0, resampling_steps=rs, new_p=0.3,
-        rrg_init_weight=2000, rrg_stop_t=0.4, repaint_sampling=True,
-        tiled_decoder=tiled)
-    t_gen = time.time() - t0
-    m = dict(pipe.last_metrics)
-    print(f"[e2e] generate_image done ({t_gen:.0f}s): {m}", flush=True)
+    _, t_cold, m_cold = gen()
+    print(f"[e2e] cold generate ({t_cold:.0f}s): {m_cold}", flush=True)
+    pipe.seed_everything(0)
+    imgs, t_gen, m = gen()
+    print(f"[e2e] warm generate ({t_gen:.0f}s): {m}", flush=True)
 
     os.makedirs("artifacts", exist_ok=True)
     imgs[0].save("artifacts/e2e_sdxl_1024x2048_randweights.png")
@@ -59,7 +68,10 @@ def main():
         "repaint": True, "tiled_decoder": tiled,
         "backend": jax.default_backend(),
         "init_seconds": round(t_init, 1),
-        "generate_seconds_incl_compile": round(t_gen, 1),
+        "generate_seconds_cold_incl_compile": round(t_cold, 1),
+        "generate_seconds_warm": round(t_gen, 1),
+        "decode_and_overhead_seconds_warm":
+            round(t_gen - m.get("denoise_seconds", 0.0), 1),
         "metrics": {k: (round(v, 3) if isinstance(v, float) else v)
                     for k, v in m.items() if k != "phase_seconds"},
         "phase_seconds": {k: round(v, 2)
