@@ -140,28 +140,30 @@ def step_bench(pipe, height, width, rs, n_measure):
     per_fwd = min(times) / _cost_model(rs, V)
     extras = {"step_seconds": round(min(times), 3)}
     if seg and step.phase_times:
+        import math
         ph = dict(step.phase_times)
         extras["phase_seconds"] = {k: round(v, 3) for k, v in ph.items()}
         # Honest v5e-8 projection from MEASURED single-chip phase times and
         # the step's actual parallel widths (no real multi-chip hardware in
         # this environment — the sharded program itself is validated on the
-        # 8-device CPU mesh by dryrun_multichip):
-        #   direction batch 2*(rs+1)  -> min(.,8)-way   (batched substeps)
-        #   repaint direction batch 2 -> 2-way
-        #   views batch V             -> min(V,8)-way
-        #   sched                     -> serial
+        # 8-device CPU mesh by dryrun_multichip). The estimate phases are
+        # ONE UNet batch each (core/segmented.py merged estimate):
+        #   main    batch W = 2*(rs+1)+V -> ceil(W/8) waves on 8 chips
+        #   repaint batch W = 2+V        -> ceil(W/8) waves
+        #   sched                        -> serial
         n_mesh = 8
-        proj_step = (ph.get("direction", 0.0) / min(2 * (rs + 1), n_mesh)
-                     + ph.get("direction_repaint", 0.0) / 2
-                     + (ph.get("views", 0.0) + ph.get("views_repaint", 0.0))
-                     / min(V, n_mesh)
-                     + ph.get("sched", 0.0))
+        w_main = 2 * (rs + 1) + V
+        w_rep = 2 + V
+        proj_step = (
+            ph.get("estimate", 0.0) * math.ceil(w_main / n_mesh) / w_main
+            + ph.get("estimate_repaint", 0.0) * math.ceil(w_rep / n_mesh) / w_rep
+            + ph.get("sched", 0.0))
         fwd_per_image = 50 * _cost_model(rs, V) - (2 + V)
         proj_image = proj_step / _cost_model(rs, V) * fwd_per_image
         extras["projected_v5e8_sec_per_image"] = round(proj_image, 1)
         extras["projection_basis"] = (
-            "measured phase times / parallel width per phase "
-            f"(dir:{min(2 * (rs + 1), n_mesh)} rep-dir:2 views:{min(V, n_mesh)})")
+            "measured phase seconds * ceil(batch/8)/batch per estimate "
+            f"phase (main batch {w_main}, repaint batch {w_rep}) + sched")
     return per_fwd, V, compile_s, extras
 
 

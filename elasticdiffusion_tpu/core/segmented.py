@@ -49,8 +49,7 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
     the same signature/semantics as pipeline._build_step_fn's closure.
 
     The returned callable has attributes:
-      .phase_times  — {'direction[_repaint]': s, 'views[_repaint]': s,
-                      'sched': s} accumulated
+      .phase_times  — {'estimate[_repaint]': s, 'sched': s} accumulated
                       wall-clock when .collect_phase_times is True
       .collect_phase_times — enable per-phase device-synced timing (costs a
                       1-element device->host fetch per phase)
@@ -137,22 +136,28 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         BB = text_cfg.shape[0] // 2
         uncond, cond = text_cfg[:BB], text_cfg[BB:]
         for n_sub in _dir_nsubs:
+            # merged batch layout: [uncond substeps | cond substeps | views]
             ctx = jnp.concatenate([jnp.tile(uncond, (n_sub, 1, 1)),
-                                   jnp.tile(cond, (n_sub, 1, 1))])
+                                   jnp.tile(cond, (n_sub, 1, 1)),
+                                   cstate["ctx_views"]])
             ate = None
             if add_text_cfg is not None:
                 au, ac = add_text_cfg[:BB], add_text_cfg[BB:]
                 ate = jnp.concatenate([jnp.tile(au, (n_sub, 1)),
-                                       jnp.tile(ac, (n_sub, 1))])
+                                       jnp.tile(ac, (n_sub, 1)),
+                                       cstate["pooled_views"]])
             tid = None
             if add_time_ids is not None:
-                tid = jnp.broadcast_to(
-                    add_time_ids, (2 * n_sub * BB,) + add_time_ids.shape[1:])
+                n_tot = (2 * n_sub + V) * BB
+                tid = jnp.broadcast_to(add_time_ids,
+                                       (n_tot,) + add_time_ids.shape[1:])
             cn = None
             if cn_lowres_cfg is not None:
                 low = cn_lowres_cfg[:BB]
-                cn = jnp.concatenate([jnp.tile(low, (n_sub, 1, 1, 1))] * 2)
-            cstate[("dir", n_sub)] = (ctx, ate, tid, cn)
+                cn = jnp.concatenate([jnp.tile(low, (n_sub, 1, 1, 1)),
+                                      jnp.tile(low, (n_sub, 1, 1, 1)),
+                                      cstate["cn_views"]])
+            cstate[("est", n_sub)] = (ctx, ate, tid, cn)
 
     # ------------------------------------------------------------------
     # glue programs (each a small, fast-compiling jit)
@@ -162,80 +167,82 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
     def split4(key):
         return jax.random.split(key, 4)
 
-    def make_dir_fns(n_sub: int):
-        """Batched direction-phase glue for a given substep count (see
-        signals.approximate_latent_direction: the substeps' only sequential
-        dependence is the RNG pick chain, so the UNet work is ONE batch of
-        2*n_sub*B)."""
+    def make_est_fns(n_sub: int):
+        """Merged estimate-phase glue for a given substep count.
 
-        def prep_common(lat, picks, bg_down):
+        Two independent workloads read the SAME latent each half-step: the
+        resampling substeps (whose only sequential dependence is the RNG
+        pick chain — see signals.approximate_latent_direction) and the
+        patch views. After background padding both are (., C, m, m) with m
+        the model minimum, so the whole estimate runs as ONE UNet batch of
+        2*n_sub*B + V*B — maximal MXU feed and mesh width, one dispatch
+        chain instead of two.
+        """
+        assert statics.down_pad.out_shape == statics.view_pad.out_shape, (
+            "direction and view inputs must pad to the same native shape")
+
+        def pre_common(lat, picks, bg_down, bg_view):
             lat32 = lat.astype(jnp.float32)
             downs, masks = jax.vmap(
                 lambda p: apply_resample(lat32, plan, p))(picks)
             BB, C = lat.shape[0], lat.shape[1]
             flat = downs.reshape((n_sub * BB,) + downs.shape[2:])
             x2 = jnp.concatenate([flat, flat]).astype(cd)
-            x_in = pad_with_background(x2, statics.down_pad, bg_down)
-            # the batched substeps shard over the 'views' mesh axis exactly
-            # like the view fan-out (direction is the sequential bottleneck
-            # in the reference; batching makes it mesh-parallel)
+            xd = pad_with_background(x2, statics.down_pad, bg_down)
+            views = gather_views(lat.astype(cd), vp)
+            vb = views.reshape((-1,) + views.shape[2:])
+            xv = pad_with_background(vb, statics.view_pad, bg_view)
+            x_in = jnp.concatenate([xd, xv])
             return shard_views(x_in, mesh), downs, masks
 
         from elasticdiffusion_tpu.core.signals import resolve_resample_picks
 
         @jax.jit
-        def prep(lat, key, bg_down):
+        def pre(lat, key, bg_down, bg_view):
             picks = resolve_resample_picks(key, n_sub, N, statics.drop_p)
-            return prep_common(lat, picks, bg_down)
+            return pre_common(lat, picks, bg_down, bg_view)
 
         @jax.jit
-        def prep_scripted(lat, picks, bg_down):
-            return prep_common(lat, jnp.asarray(picks)[:n_sub], bg_down)
+        def pre_scripted(lat, picks, bg_down, bg_view):
+            return pre_common(lat, jnp.asarray(picks)[:n_sub], bg_down,
+                              bg_view)
 
         @jax.jit
-        def finish(eps_pad, downs, masks):
-            eps = crop_from_padding(eps_pad,
-                                    statics.down_pad).astype(jnp.float32)
-            nB = eps.shape[0] // 2
-            shp = (n_sub, nB // n_sub) + eps.shape[1:]
-            eps_u = eps[:nB].reshape(shp)
-            eps_c = eps[nB:].reshape(shp)
+        def post(eps_all, downs, masks):
+            """Split the merged batch: direction CFG fills + view scatter."""
+            n_sub_, BB, C = downs.shape[0], downs.shape[1], downs.shape[2]
+            nd = 2 * n_sub_ * BB
+            eps_d = crop_from_padding(eps_all[:nd],
+                                      statics.down_pad).astype(jnp.float32)
+            shp = (n_sub_, BB) + eps_d.shape[1:]
+            eps_u = eps_d[:nd // 2].reshape(shp)
+            eps_c = eps_d[nd // 2:].reshape(shp)
             directions = eps_c - eps_u
 
             def fill_body(s, carry):
                 target, filled = carry
                 return fill_in(target, filled, directions[s], masks[s],
                                fill_all=False)
-            BB = shp[1]
-            C = shp[2]
             target, filled = jax.lax.fori_loop(
-                0, n_sub, fill_body,
+                0, n_sub_, fill_body,
                 (jnp.zeros((BB, C, H, W), jnp.float32),
                  jnp.zeros((H, W), bool)))
             up_last = nearest_resize(directions[-1], (H, W))
             target = jnp.where(filled, target, up_last)
             down_dir = nearest_resize(target, (plan.out_h, plan.out_w))
-            return DirectionResult(direction=target,
-                                   init_downsampled_latent=downs[0],
-                                   downsampled_latent=downs[-1],
-                                   uncond_score=eps_u[-1],
-                                   downsampled_direction=down_dir)
+            res = DirectionResult(direction=target,
+                                  init_downsampled_latent=downs[0],
+                                  downsampled_latent=downs[-1],
+                                  uncond_score=eps_u[-1],
+                                  downsampled_direction=down_dir)
+
+            eps_v = crop_from_padding(eps_all[nd:], statics.view_pad)
+            preds = eps_v.reshape((V, -1) + eps_v.shape[1:]).astype(jnp.float32)
+            local = scatter_first_writer(preds, vp)
+            return res, local
 
         _dir_nsubs.append(n_sub)
-        return prep, prep_scripted, finish, n_sub
-
-    @jax.jit
-    def views_pre(lat, bg_view):
-        views = gather_views(lat.astype(cd), vp)
-        vb = views.reshape((-1,) + views.shape[2:])
-        x_in = pad_with_background(vb, statics.view_pad, bg_view)
-        return shard_views(x_in, mesh)
-
-    @jax.jit
-    def views_post(eps_pad):
-        eps = crop_from_padding(eps_pad, statics.view_pad)
-        preds = eps.reshape((V, -1) + eps.shape[1:]).astype(jnp.float32)
-        return scatter_first_writer(preds, vp)
+        return pre, pre_scripted, post, n_sub
 
     @jax.jit
     def combine_ddim(local, direction, lat, coeffs, g):
@@ -268,34 +275,22 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
     # host-orchestrated phases
     # ------------------------------------------------------------------
 
-    dir_main = make_dir_fns(statics.resampling_steps + 1)
-    dir_repaint = dir_main if statics.resampling_steps == 0 else \
-        (make_dir_fns(1) if repaint else None)
+    est_main = make_est_fns(statics.resampling_steps + 1)
+    est_repaint = est_main if statics.resampling_steps == 0 else \
+        (make_est_fns(1) if repaint else None)
 
-    def _approx_direction(fns, lat, key, inp, t, picks):
-        prep, prep_scripted, finish, n_sub = fns
-        ctx, ate, tid, cn = cstate[("dir", n_sub)]
+    def _estimate(fns, lat, key, inp, t, picks):
+        pre, pre_scripted, post, n_sub = fns
+        ctx, ate, tid, cn = cstate[("est", n_sub)]
         bg_down = inp.get("bg_down", {})
-        if picks is not None:
-            x_in, downs, masks = prep_scripted(lat, jnp.asarray(picks),
-                                               bg_down)
-        else:
-            x_in, downs, masks = prep(lat, key, bg_down)
-        eps_pad = _unet(x_in, t, ctx, ate, tid, cn)
-        return finish(eps_pad, downs, masks)
-
-    def _local_signal(lat, t, inp):
         bg_view = inp.get("bg_view", {})
-        BB = lat.shape[0]
-        x_in = views_pre(lat, bg_view)
-        # cstate['ctx_views'] = tile(uncond, (V,1,1)) is already (V*B, ...)
-        # in the same V-major order as the view reshape (signals.py:204-207)
-        ati = cstate["add_time_ids"]
-        tid = None if ati is None else \
-            jnp.broadcast_to(ati, (V * BB,) + ati.shape[1:])
-        eps_pad = _unet(x_in, t, cstate["ctx_views"], cstate["pooled_views"],
-                        tid, cstate["cn_views"])
-        return views_post(eps_pad)
+        if picks is not None:
+            x_in, downs, masks = pre_scripted(lat, jnp.asarray(picks),
+                                              bg_down, bg_view)
+        else:
+            x_in, downs, masks = pre(lat, key, bg_down, bg_view)
+        eps_all = _unet(x_in, t, ctx, ate, tid, cn)
+        return post(eps_all, downs, masks)
 
     phase_times: Dict[str, float] = {}
 
@@ -315,10 +310,8 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         t0 = time.time()
 
         picks = inp.get("picks_main") if scripted else None
-        res = _approx_direction(dir_main, lat, k_dir, inp, t, picks)
-        t0 = _tick("direction", t0, res.direction)
-        local = _local_signal(lat, t, inp)
-        t0 = _tick("views", t0, local)
+        res, local = _estimate(est_main, lat, k_dir, inp, t, picks)
+        t0 = _tick("estimate", t0, local)
         prev, x0 = combine_ddim(local, res.direction, lat, coeffs,
                                 jnp.float32(gs))
         rrg_cfg = gs
@@ -333,11 +326,9 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                                 inp["undo_sb"])
             t0 = _tick("sched", t0, lat2)
             picks2 = inp.get("picks_repaint") if scripted else None
-            res2 = _approx_direction(dir_repaint, lat2, k_rep_dir, inp, t,
+            res2, local2 = _estimate(est_repaint, lat2, k_rep_dir, inp, t,
                                      picks2)
-            t0 = _tick("direction_repaint", t0, res2.direction)
-            local2 = _local_signal(lat2, t, inp)
-            t0 = _tick("views_repaint", t0, local2)
+            t0 = _tick("estimate_repaint", t0, local2)
             rrg_cfg = gs / 3
             prev, x0 = combine_ddim(local2, res2.direction, lat2, coeffs,
                                     jnp.float32(rrg_cfg))

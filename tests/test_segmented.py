@@ -91,6 +91,5 @@ def test_segmented_phase_times():
                         resampling_steps=1, repaint_sampling=True,
                         return_arrays=True)
     phases = pipe.last_metrics["phase_seconds"]
-    assert set(phases) == {"direction", "views", "sched",
-                           "direction_repaint", "views_repaint"}
+    assert set(phases) == {"estimate", "estimate_repaint", "sched"}
     assert all(v > 0 for v in phases.values())
