@@ -93,3 +93,17 @@ def test_segmented_phase_times():
     phases = pipe.last_metrics["phase_seconds"]
     assert set(phases) == {"estimate", "estimate_repaint", "sched"}
     assert all(v > 0 for v in phases.values())
+
+
+def test_segmented_matches_fused_batch2():
+    """Prompt batch B=2 through the merged-estimate segmented step."""
+    b = make_toy_bundle()
+    kw = dict(prompts=["a cat", "a dog"], height=32, width=32,
+              num_inference_steps=2, guidance_scale=7.5, resampling_steps=1,
+              new_p=0.3, rrg_init_weight=500, rrg_stop_t=0.0,
+              repaint_sampling=True)
+    fused, _ = _gen(b, segmented=False, **kw)
+    seg, m_s = _gen(b, segmented=True, **kw)
+    assert m_s["segmented"]
+    assert fused.shape == seg.shape == (2, 3, 32, 32)
+    np.testing.assert_allclose(seg, fused, atol=5e-5, rtol=1e-4)
