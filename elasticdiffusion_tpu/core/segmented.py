@@ -7,18 +7,24 @@ compile service cannot compile full-SD-scale single programs (broken pipe
 after ~1 h; see models/unet.py SEGMENTED EXECUTION), so at SD scale the
 numerically identical step runs here as a HOST-ORCHESTRATED sequence:
 
-  small jitted glue programs (pick/downsample/pad, fill/scatter, view
-  gather/writeback, DDIM/repaint/RRG — each compiling in seconds)
-  around the per-block segmented UNet chain (models/registry.py
-  apply_unet_segmented — ~13 cached programs shared across all call
-  sites of the step).
+  small jitted glue programs (pick-chain/downsample/view-gather/pad,
+  fill/scatter, DDIM/repaint/RRG — each compiling in seconds) around the
+  per-block segmented UNet chain (models/registry.py apply_unet_segmented
+  — ~13 cached programs shared across all call sites of the step).
+
+The resampling substeps and the patch views read the same latent and pad
+to the same native shape, so each half-step's ENTIRE estimate runs as one
+merged UNet batch (2*(rs+1)+V forwards; 2+V for the repaint re-estimate) —
+one dispatch chain, maximal MXU feed, an 8-wide mesh-shardable batch.
 
 The RNG key threading mirrors core/signals.py draw-for-draw, so with the
 same key this path and the fused path produce the same step output
 (tested in tests/test_segmented.py). Phase boundaries double as per-phase
-wall-clock probes (direction / views / scheduler+repaint+RRG), the honest
+wall-clock probes (estimate / estimate_repaint / sched), the honest
 replacement for the reference's TimeIt totals
 (/root/reference/elastic_diffusion.py:33-70) at SD scale on TPU.
+Step builders are cached by the pipeline (see pipeline.generate_image) and
+re-aimed at new prompts/conditions via step.update_conditioning.
 """
 
 from __future__ import annotations

@@ -35,11 +35,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale        # (bq, d)
-    k = k_ref[0].astype(jnp.float32)                # (bk, d)
-    v = v_ref[0].astype(jnp.float32)                # (bk, d)
+    # dots run at the INPUT dtype (bf16 inputs -> full-rate bf16 MXU passes)
+    # with fp32 accumulation; softmax statistics stay fp32
+    q = q_ref[0]                                    # (bq, d)
+    k = k_ref[0]                                    # (bk, d)
+    v = v_ref[0]                                    # (bk, d)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (bq, bk)
+                            preferred_element_type=jnp.float32) * scale
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
@@ -47,7 +49,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     m_scr[:] = m_new
     l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(kb == nk - 1)
     def _():

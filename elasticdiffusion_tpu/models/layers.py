@@ -300,9 +300,15 @@ class Upsample2D(nn.Module):
 
 
 class VAEAttention(nn.Module):
-    """Single-head spatial self-attention of the VAE mid block (qkv bias)."""
+    """Single-head spatial self-attention of the VAE mid block (qkv bias).
+
+    use_pallas matters here more than anywhere: decode at NxN pixels runs
+    this at (N/8)^2 tokens — 36864 at 1536^2, where materialized logits are
+    5.4GB fp32 (OOM on one chip); flash attention streams them.
+    """
 
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "off"
 
     @nn.compact
     def __call__(self, x):
@@ -310,6 +316,6 @@ class VAEAttention(nn.Module):
         residual = x
         h = GroupNorm32(epsilon=1e-6, name="group_norm")(x).reshape(B, H * W, C)
         out = CrossAttention(num_heads=1, head_dim=C, qkv_bias=True,
-                             dtype=self.dtype, use_pallas="off",
+                             dtype=self.dtype, use_pallas=self.use_pallas,
                              name="attn")(h)
         return residual + out.reshape(B, H, W, C)

@@ -195,8 +195,10 @@ def _init_unet(cfg: ModelBundleConfig, runtime: RuntimeConfig, key):
 
 
 def _init_vae(cfg: ModelBundleConfig, runtime: RuntimeConfig, key):
-    vae = AutoencoderKL(cfg.vae, dtype=runtime.compute_dtype)
-    vae_fp32 = AutoencoderKL(cfg.vae, dtype=jnp.float32)
+    vae = AutoencoderKL(cfg.vae, dtype=runtime.compute_dtype,
+                        use_pallas=runtime.use_pallas)
+    vae_fp32 = AutoencoderKL(cfg.vae, dtype=jnp.float32,
+                             use_pallas=runtime.use_pallas)
     s = 8 * cfg.vae.scale_factor
     img = jnp.zeros((1, cfg.vae.in_channels, s, s), runtime.compute_dtype)
     noise = jnp.zeros((1, cfg.vae.latent_channels, 8, 8), jnp.float32)

@@ -28,6 +28,7 @@ from elasticdiffusion_tpu.models.layers import (
 class Encoder(nn.Module):
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "off"
 
     @nn.compact
     def __call__(self, x):  # NHWC
@@ -45,7 +46,8 @@ class Encoder(nn.Module):
                                  name=f"down_{i}_downsample")(x)
         x = ResnetBlock2D(bo[-1], use_temb=False, norm_eps=1e-6, dtype=self.dtype,
                           name="mid_resnet_0")(x)
-        x = VAEAttention(dtype=self.dtype, name="mid_attn")(x)
+        x = VAEAttention(dtype=self.dtype, use_pallas=self.use_pallas,
+                         name="mid_attn")(x)
         x = ResnetBlock2D(bo[-1], use_temb=False, norm_eps=1e-6, dtype=self.dtype,
                           name="mid_resnet_1")(x)
         x = GroupNorm32(epsilon=1e-6, name="conv_norm_out")(x)
@@ -65,6 +67,7 @@ class Decoder(nn.Module):
 
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "off"
 
     @nn.compact
     def __call__(self, z, stage: str = "full"):  # NHWC
@@ -76,7 +79,8 @@ class Decoder(nn.Module):
                         dtype=self.dtype, name="conv_in")(x)
             x = ResnetBlock2D(bo[0], use_temb=False, norm_eps=1e-6, dtype=self.dtype,
                               name="mid_resnet_0")(x)
-            x = VAEAttention(dtype=self.dtype, name="mid_attn")(x)
+            x = VAEAttention(dtype=self.dtype, use_pallas=self.use_pallas,
+                         name="mid_attn")(x)
             x = ResnetBlock2D(bo[0], use_temb=False, norm_eps=1e-6, dtype=self.dtype,
                               name="mid_resnet_1")(x)
             if stage == "a":
@@ -96,10 +100,16 @@ class Decoder(nn.Module):
 class AutoencoderKL(nn.Module):
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    # flash attention in the mid blocks: mandatory for large decodes (the
+    # single-head latent-resolution attention materializes O(tokens^2)
+    # logits otherwise — 5.4GB at 1536^2, OOM at 2048^2)
+    use_pallas: str = "off"
 
     def setup(self):
-        self.encoder = Encoder(self.config, dtype=self.dtype)
-        self.decoder = Decoder(self.config, dtype=self.dtype)
+        self.encoder = Encoder(self.config, dtype=self.dtype,
+                               use_pallas=self.use_pallas)
+        self.decoder = Decoder(self.config, dtype=self.dtype,
+                               use_pallas=self.use_pallas)
         self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1),
                                   dtype=self.dtype)
         self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1),
