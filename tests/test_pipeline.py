@@ -156,3 +156,22 @@ def test_fused_scan_loop_matches_host_loop():
     b, _ = p_fused.generate_image("a cat", **kw)
     assert p_fused.last_metrics.get("fused") is True
     np.testing.assert_allclose(a, b, atol=5e-3, rtol=5e-2)
+
+
+def test_latent_checkpoint_resume(pipe, tmp_path):
+    """Aux subsystem (SURVEY §5): long generations checkpoint
+    (latent, key, step) and resume to the identical result."""
+    ck = str(tmp_path / "ck.npz")
+    kw = dict(height=16, width=16, num_inference_steps=4, resampling_steps=1,
+              repaint_sampling=False, return_arrays=True)
+    pipe.seed_everything(5)
+    a, _ = pipe.generate_image("a cat", **kw)
+    # same run, checkpointing after step index 2
+    pipe.seed_everything(5)
+    b, _ = pipe.generate_image("a cat", checkpoint_path=ck,
+                               checkpoint_every=3, **kw)
+    np.testing.assert_array_equal(a, b)
+    # resume: steps 0-2 skipped, step 3 recomputed from the checkpoint
+    pipe.seed_everything(5)
+    c, _ = pipe.generate_image("a cat", resume_from=ck, **kw)
+    np.testing.assert_array_equal(a, c)
