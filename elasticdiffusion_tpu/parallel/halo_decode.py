@@ -27,6 +27,7 @@ tiles, but without count-averaging seams in the conv path.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -124,13 +125,48 @@ def _stage_b(h_nhwc, dec_params, vae_cfg, axis_name: Optional[str]):
                          dec_params["conv_out"]["bias"], axis_name)
 
 
+@functools.partial(jax.jit, static_argnames=("vae_cls", "cfg", "fp32"))
+def _stage_a_jit(params, lat, vae_cls, cfg, fp32):
+    vae = vae_cls(cfg, dtype=jnp.float32 if fp32 else lat.dtype)
+    if fp32:
+        params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    hidden = vae.apply({"params": params}, lat, method=vae_cls.decode_stage_a)
+    return jnp.transpose(hidden, (0, 2, 3, 1)), params["decoder"]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _stage_b_mono_jit(hidden, dec, cfg):
+    return _stage_b(hidden, dec, cfg, axis_name=None)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n", "halo", "vsf"))
+def _stage_b_bands_jit(hidden, dec, cfg, n, halo, vsf):
+    B, H = hidden.shape[0], hidden.shape[1]
+    W = hidden.shape[2]
+    hs = H // n
+    win = min(H, hs + 2 * halo)
+
+    def band(i):
+        start = jnp.clip(i * hs - halo, 0, H - win)
+        bandh = jax.lax.dynamic_slice_in_dim(hidden, start, win, axis=1)
+        img = _stage_b(bandh, dec, cfg, axis_name=None)
+        keep = (i * hs - start) * vsf
+        return jax.lax.dynamic_slice_in_dim(img, keep, hs * vsf, axis=1)
+
+    bands = jax.lax.map(band, jnp.arange(n))      # (n, B, hs*vsf, W*vsf, 3)
+    bands = jnp.moveaxis(bands, 0, 1)
+    return bands.reshape(B, n * hs * vsf, W * vsf, -1)
+
+
 def halo_decode(bundle, latents_nchw, mesh: Optional[Mesh] = None,
                 halo: int = DEFAULT_HALO, num_bands: Optional[int] = None):
     """(B, 4, H, W) scaled latents -> (B, 3, 8H, 8W) image in [-1, 1].
 
     Multi-chip (mesh with a 'views' axis > 1): EXACT halo-exchange decode.
     Single-chip: sequential approximate bands when num_bands > 1, else
-    monolithic stage B (exact).
+    monolithic stage B (exact). Every branch runs as a jitted program
+    (eager op-by-op execution would hold all intermediates live — OOM at
+    2048^2 fp32 — and dispatch one remote program per op on this backend).
     """
     B, C, H, W = latents_nchw.shape
     vsf = bundle.vae_scale_factor
@@ -138,15 +174,10 @@ def halo_decode(bundle, latents_nchw, mesh: Optional[Mesh] = None,
     fp32 = (bundle.config.vae.force_upcast and bundle.runtime.vae_decode_fp32
             and bundle.vae_fp32 is not None)
     vae = bundle.vae_fp32 if fp32 else bundle.vae
-    params = bundle.vae_params
-    if fp32:
-        params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
     lat = latents_nchw.astype(jnp.float32 if fp32 else latents_nchw.dtype)
-
-    hidden = vae.apply({"params": params}, lat, method=type(vae).decode_stage_a)
-    hidden = jnp.transpose(hidden, (0, 2, 3, 1))  # NHWC
-    dec = params["decoder"]
     cfg = bundle.config.vae
+
+    hidden, dec = _stage_a_jit(bundle.vae_params, lat, type(vae), cfg, fp32)
 
     n_mesh = int(mesh.shape["views"]) if (mesh is not None
                                           and "views" in mesh.axis_names) else 1
@@ -167,21 +198,8 @@ def halo_decode(bundle, latents_nchw, mesh: Optional[Mesh] = None,
     while H % n:
         n -= 1
     if n == 1:
-        out = _stage_b(hidden, dec, cfg, axis_name=None)
+        out = _stage_b_mono_jit(hidden, dec, cfg)
         return jnp.transpose(out, (0, 3, 1, 2))
 
-    # sequential approximate bands (per-band GN stats), halo-padded windows
-    hs = H // n
-    win = min(H, hs + 2 * halo)
-
-    def band(i):
-        start = jnp.clip(i * hs - halo, 0, H - win)
-        bandh = jax.lax.dynamic_slice_in_dim(hidden, start, win, axis=1)
-        img = _stage_b(bandh, dec, cfg, axis_name=None)
-        keep = (i * hs - start) * vsf
-        return jax.lax.dynamic_slice_in_dim(img, keep, hs * vsf, axis=1)
-
-    bands = jax.lax.map(band, jnp.arange(n))      # (n, B, hs*vsf, W*vsf, 3)
-    bands = jnp.moveaxis(bands, 0, 1)              # (B, n, hs*vsf, ...)
-    out = bands.reshape(B, n * hs * vsf, W * vsf, -1)
+    out = _stage_b_bands_jit(hidden, dec, cfg, n, halo, vsf)
     return jnp.transpose(out, (0, 3, 1, 2))
