@@ -125,9 +125,13 @@ def _stage_b(h_nhwc, dec_params, vae_cfg, axis_name: Optional[str]):
                          dec_params["conv_out"]["bias"], axis_name)
 
 
-@functools.partial(jax.jit, static_argnames=("vae_cls", "cfg", "fp32"))
-def _stage_a_jit(params, lat, vae_cls, cfg, fp32):
-    vae = vae_cls(cfg, dtype=jnp.float32 if fp32 else lat.dtype)
+@functools.partial(jax.jit, static_argnames=("vae_cls", "cfg", "fp32",
+                                              "use_pallas"))
+def _stage_a_jit(params, lat, vae_cls, cfg, fp32, use_pallas="off"):
+    # use_pallas is load-bearing: the mid-block attention at (H/8)^2 tokens
+    # must run as the flash kernel or its logits alone exceed HBM
+    vae = vae_cls(cfg, dtype=jnp.float32 if fp32 else lat.dtype,
+                  use_pallas=use_pallas)
     if fp32:
         params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
     hidden = vae.apply({"params": params}, lat, method=vae_cls.decode_stage_a)
@@ -177,7 +181,8 @@ def halo_decode(bundle, latents_nchw, mesh: Optional[Mesh] = None,
     lat = latents_nchw.astype(jnp.float32 if fp32 else latents_nchw.dtype)
     cfg = bundle.config.vae
 
-    hidden, dec = _stage_a_jit(bundle.vae_params, lat, type(vae), cfg, fp32)
+    hidden, dec = _stage_a_jit(bundle.vae_params, lat, type(vae), cfg, fp32,
+                               use_pallas=vae.use_pallas)
 
     n_mesh = int(mesh.shape["views"]) if (mesh is not None
                                           and "views" in mesh.axis_names) else 1
