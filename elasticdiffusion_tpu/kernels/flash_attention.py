@@ -35,13 +35,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # dots run at the INPUT dtype (bf16 inputs -> full-rate bf16 MXU passes)
-    # with fp32 accumulation; softmax statistics stay fp32
-    q = q_ref[0]                                    # (bq, d)
-    k = k_ref[0]                                    # (bk, d)
-    v = v_ref[0]                                    # (bk, d)
+    # fp32 in-VMEM upcast before the dots. A bf16-dot variant (inputs kept
+    # bf16, fp32 accumulation — nominally 2x MXU rate) compiles in isolated
+    # reproductions but deterministically fails Mosaic layout inference
+    # ('Bad lhs type' on the tiled NT matmul) when the operands arrive
+    # through the production transpose+reshape chain in this environment's
+    # toolchain; keeping the proven fp32 form until the toolchain moves.
+    q = q_ref[0].astype(jnp.float32) * scale        # (bq, d)
+    k = k_ref[0].astype(jnp.float32)                # (bk, d)
+    v = v_ref[0].astype(jnp.float32)                # (bk, d)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)  # (bq, bk)
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
@@ -49,8 +53,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     m_scr[:] = m_new
     l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(kb == nk - 1)
     def _():
