@@ -250,24 +250,31 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         _dir_nsubs.append(n_sub)
         return pre, pre_scripted, post, n_sub
 
-    @jax.jit
-    def combine_ddim(local, direction, lat, coeffs, g):
+    def _ddim(local, direction, lat, coeffs, g):
         pred = local + g * direction
         return DDIMScheduler.step_from_coeffs(pred, lat.astype(jnp.float32),
                                               coeffs)
 
     @jax.jit
-    def undo_jit(prev, key, s1mb, sb):
+    def ddim_undo(local, direction, lat, coeffs, g, key, s1mb, sb):
+        """Fused DDIM step + repaint re-noise: one dispatch between the two
+        estimate passes."""
+        prev, _ = _ddim(local, direction, lat, coeffs, g)
         return undo_step(prev, key, s1mb, sb)
 
     @jax.jit
-    def undo_scripted_jit(prev, s1mb, sb, noise):
+    def ddim_undo_scripted(local, direction, lat, coeffs, g, s1mb, sb, noise):
+        prev, _ = _ddim(local, direction, lat, coeffs, g)
         return undo_step(prev, jax.random.PRNGKey(0), s1mb, sb,
                          scripted=noise)
 
     @jax.jit
-    def rrg_apply(prev, x0, down_lat, eps_u, down_dir, g, rrg_w, coeffs):
-        """Analytic RRG (signals.reduced_resolution_guidance)."""
+    def ddim_rrg(local, direction, lat, coeffs, g, down_lat, eps_u, down_dir,
+                 rrg_w):
+        """Fused DDIM step + analytic RRG
+        (signals.reduced_resolution_guidance): the step's tail in one
+        dispatch."""
+        prev, x0 = _ddim(local, direction, lat, coeffs, g)
         noise_low = eps_u + g * down_dir
         sa_t, s1a_t = coeffs[0], coeffs[1]
         ref_x0 = (down_lat - s1a_t * noise_low) / sa_t
@@ -275,7 +282,7 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         numel = x0.shape[1] * x0.shape[2] * x0.shape[3]
         cascade = 2.0 * rrg_w * (ref_up - x0) / numel
         nxt = prev + jnp.where(rrg_w > 10.0, cascade, jnp.zeros_like(cascade))
-        return nxt, ref_x0
+        return nxt, x0, ref_x0
 
     # ------------------------------------------------------------------
     # host-orchestrated phases
@@ -318,31 +325,31 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         picks = inp.get("picks_main") if scripted else None
         res, local = _estimate(est_main, lat, k_dir, inp, t, picks)
         t0 = _tick("estimate", t0, local)
-        prev, x0 = combine_ddim(local, res.direction, lat, coeffs,
-                                jnp.float32(gs))
-        rrg_cfg = gs
-        used = res
 
         if repaint:
             if scripted and inp.get("repaint_noise") is not None:
-                lat2 = undo_scripted_jit(prev, inp["undo_s1mb"],
-                                         inp["undo_sb"], inp["repaint_noise"])
+                lat2 = ddim_undo_scripted(local, res.direction, lat, coeffs,
+                                          jnp.float32(gs), inp["undo_s1mb"],
+                                          inp["undo_sb"],
+                                          inp["repaint_noise"])
             else:
-                lat2 = undo_jit(prev, k_rep_noise, inp["undo_s1mb"],
-                                inp["undo_sb"])
+                lat2 = ddim_undo(local, res.direction, lat, coeffs,
+                                 jnp.float32(gs), k_rep_noise,
+                                 inp["undo_s1mb"], inp["undo_sb"])
             t0 = _tick("sched", t0, lat2)
             picks2 = inp.get("picks_repaint") if scripted else None
             res2, local2 = _estimate(est_repaint, lat2, k_rep_dir, inp, t,
                                      picks2)
             t0 = _tick("estimate_repaint", t0, local2)
-            rrg_cfg = gs / 3
-            prev, x0 = combine_ddim(local2, res2.direction, lat2, coeffs,
-                                    jnp.float32(rrg_cfg))
-            used = res2
+            local, lat, used, rrg_cfg = local2, lat2, res2, gs / 3
+        else:
+            used, rrg_cfg = res, gs
 
-        nxt, ref_x0 = rrg_apply(prev, x0, used.downsampled_latent,
-                                used.uncond_score, used.downsampled_direction,
-                                jnp.float32(rrg_cfg), inp["rrg_w"], coeffs)
+        nxt, x0, ref_x0 = ddim_rrg(local, used.direction, lat, coeffs,
+                                   jnp.float32(rrg_cfg),
+                                   used.downsampled_latent,
+                                   used.uncond_score,
+                                   used.downsampled_direction, inp["rrg_w"])
         _tick("sched", t0, nxt)
         aux = {"x0": x0, "rrg_x0": ref_x0,
                "init_downsampled_latent": res.init_downsampled_latent}
