@@ -30,7 +30,7 @@ re-aimed at new prompts/conditions via step.update_conditioning.
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
