@@ -23,6 +23,7 @@ import numpy as np
 
 from elasticdiffusion_tpu.configs import (
     CLIPTextConfig, ModelBundleConfig, UNetConfig, VAEConfig,
+    get_bundle_config,
 )
 
 # ---------------------------------------------------------------------------
@@ -461,3 +462,82 @@ def convert_dpt(sd: Dict[str, np.ndarray], cfg=None) -> Dict[str, Any]:
         _set(out, f"{f_name}.kernel", _conv(sd[f"head.head.{t_idx}.weight"]))
         _set(out, f"{f_name}.bias", sd[f"head.head.{t_idx}.bias"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# CLI: python -m elasticdiffusion_tpu.models.convert SRC OUT --sd_version ...
+# ---------------------------------------------------------------------------
+
+
+def _eval_shape_trees(bundle_cfg: ModelBundleConfig):
+    """Shape-only init trees (no compute) for structure validation."""
+    import jax
+    import jax.numpy as jnp
+    from elasticdiffusion_tpu.models.clip import CLIPTextModel
+    from elasticdiffusion_tpu.models.unet import UNet2DCondition
+    from elasticdiffusion_tpu.models.vae import AutoencoderKL
+
+    out = {}
+    rng = jax.random.PRNGKey(0)
+    u = UNet2DCondition(bundle_cfg.unet)
+    s = bundle_cfg.unet.sample_size
+    kw = {}
+    if bundle_cfg.unet.addition_embed_type == "text_time":
+        kw = {"added_text_embeds":
+              jnp.zeros((1, bundle_cfg.unet.pooled_projection_dim)),
+              "added_time_ids": jnp.zeros((1, 6))}
+    out["unet"] = jax.eval_shape(
+        u.init, rng, jnp.zeros((1, bundle_cfg.unet.in_channels, s, s)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 77, bundle_cfg.unet.cross_attention_dim)),
+        **kw)["params"]
+    v = AutoencoderKL(bundle_cfg.vae)
+    sv = 8 * bundle_cfg.vae.scale_factor
+    out["vae"] = jax.eval_shape(
+        v.init, rng, jnp.zeros((1, 3, sv, sv)),
+        jnp.zeros((1, bundle_cfg.vae.latent_channels, 8, 8)))["params"]
+    for i, tc in enumerate(bundle_cfg.text_encoders):
+        m = CLIPTextModel(tc)
+        out[f"text_encoder_{i}"] = jax.eval_shape(
+            m.init, rng,
+            jnp.zeros((1, tc.max_position_embeddings), jnp.int32))["params"]
+    return out
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(
+        description="Convert an HF diffusers checkpoint directory (the "
+                    "same checkpoints the reference loads from the hub, "
+                    "/root/reference/elastic_diffusion.py:144-153) into "
+                    "this framework's cached .npz pytrees.")
+    p.add_argument("src", help="HF pipeline directory (with unet/, vae/, ...)")
+    p.add_argument("out", help="output directory for the converted .npz files")
+    p.add_argument("--sd_version", default="XL1.0")
+    p.add_argument("--controlnet", default=None,
+                   help="optional ControlNet model directory")
+    p.add_argument("--dpt", default=None,
+                   help="optional DPT depth-estimator directory "
+                        "(Intel/dpt-large layout)")
+    p.add_argument("--validate", action="store_true",
+                   help="check converted trees against the model init "
+                        "structure (shape-only, no compute)")
+    opt = p.parse_args(argv)
+
+    cfg = get_bundle_config(opt.sd_version)
+    convert_checkpoint(opt.src, opt.out, cfg, controlnet_src=opt.controlnet)
+    if opt.dpt:
+        sd = load_state_dict(opt.dpt)
+        save_params_npz(convert_dpt(sd), os.path.join(opt.out, "dpt.npz"))
+    if opt.validate:
+        want = _eval_shape_trees(cfg)
+        got = load_converted_params(opt.out)
+        for name, tree in want.items():
+            if name in got:
+                validate_structure(got[name], tree, name=name)
+                print(f"[convert] {name}: structure ok")
+    print(f"[convert] wrote {sorted(os.listdir(opt.out))} -> {opt.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,26 @@ def test_npz_roundtrip(tmp_path):
     assert set(flat_a) == set(flat_b)
     for k in flat_a:
         np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+
+def test_convert_cli_end_to_end(tmp_path, monkeypatch):
+    """`python -m elasticdiffusion_tpu.models.convert SRC OUT --validate`
+    over a synthetic HF-layout checkpoint directory (toy sizes)."""
+    import torch
+    from elasticdiffusion_tpu.models import convert as C
+    from toy_configs import toy_bundle_config
+    cfg = toy_bundle_config()
+    src = tmp_path / "src"
+    for sub, sd in (("unet", torch_layouts.unet_state_dict(cfg.unet)),
+                    ("vae", torch_layouts.vae_state_dict(cfg.vae)),
+                    ("text_encoder",
+                     torch_layouts.clip_state_dict(cfg.text_encoders[0]))):
+        d = src / sub
+        d.mkdir(parents=True)
+        torch.save({k: torch.from_numpy(np.asarray(v))
+                    for k, v in sd.items()}, d / "pytorch_model.bin")
+    out = tmp_path / "out"
+    monkeypatch.setattr(C, "get_bundle_config", lambda v: cfg)
+    C.main([str(src), str(out), "--sd_version", "toy", "--validate"])
+    names = sorted(f.name for f in out.iterdir())
+    assert names == ["text_encoder_0.npz", "unet.npz", "vae.npz"]
