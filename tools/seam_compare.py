@@ -1,0 +1,123 @@
+"""Seam evidence: halo-exchange decode vs the reference-style
+overlap-average tiled decode vs monolithic decode at 2048x2048 (XL VAE,
+random weights — seams are a plumbing property, not a weights property).
+
+The reference's tiled decoder is known to produce checkerboard seams
+(/root/reference/README.md:114, /root/reference/elastic_diffusion.py:275-310);
+the halo decoder (parallel/halo_decode.py) is exact. This writes:
+  artifacts/SEAM_COMPARE.json     — max/mean abs error vs monolithic
+  artifacts/seam_halo.png / seam_tiled.png / seam_monolithic.png
+  artifacts/seam_tiled_errmap.png — |tiled - monolithic| amplified
+
+Monolithic fp32 XL decode at 2048x2048 only fits one v5e chip because the
+mid-block attention runs as the Pallas flash kernel (unfused single-head
+attention at 65536 tokens would materialize 17GB of logits; the measured
+OOM before the fix was 16.5G needed vs 15.75G HBM). The standalone halo
+stage-B program does NOT fit at 2048 on one chip (its exact mode is the
+multi-chip shard_map, validated on the CPU mesh in tests), so the exact
+halo-vs-monolithic comparison runs at ED_SEAM_RES=1536 and the 2048
+section compares monolithic vs overlap-average vs banded halo (the
+memory-bounded sequential mode, per-band GN stats).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+    from elasticdiffusion_tpu.utils.cache import enable_compilation_cache
+    from elasticdiffusion_tpu.utils.image import to_pil
+    enable_compilation_cache()
+
+    res = int(os.environ.get("ED_SEAM_RES", "1536"))
+    big = int(os.environ.get("ED_SEAM_BIG", "2048"))
+    on_tpu = jax.default_backend() not in ("cpu",)
+    runtime = RuntimeConfig(
+        param_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas="auto" if on_tpu else "off")
+    pipe = ElasticDiffusion(sd_version="XL1.0" if on_tpu else "2.0",
+                            runtime=runtime)
+    # decode-only workload: free the UNet/CLIP params (~7GB HBM) so the
+    # fp32 decode intermediates fit next to the VAE weights
+    import jax as _jax
+    for tree in [pipe.bundle.unet_params, *pipe.bundle.text_params]:
+        for leaf in _jax.tree.leaves(tree):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+    pipe.bundle.unet_params = None
+    pipe.bundle.text_params = ()
+    lat_res = res // pipe.vae_scale_factor
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4, lat_res, lat_res),
+                            jnp.float32) * pipe.bundle.config.vae.scaling_factor
+
+    results = {"resolution": res, "backend": jax.default_backend()}
+    t0 = time.time()
+    mono = np.asarray(pipe.decode_latents(lat))
+    results["monolithic_seconds"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    halo = np.asarray(pipe.halo_decode(lat))
+    results["halo_seconds"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    tiled = np.asarray(pipe.tiled_decode(lat))
+    results["tiled_overlap_avg_seconds"] = round(time.time() - t0, 1)
+
+    for name, img in (("halo", halo), ("tiled_overlap_avg", tiled)):
+        d = np.abs(img - mono)
+        results[f"{name}_max_abs_err"] = float(d.max())
+        results[f"{name}_mean_abs_err"] = float(d.mean())
+
+    os.makedirs("artifacts", exist_ok=True)
+    to_pil(mono)[0].save("artifacts/seam_monolithic.png")
+    to_pil(halo)[0].save("artifacts/seam_halo.png")
+    to_pil(tiled)[0].save("artifacts/seam_tiled.png")
+    err = np.abs(tiled - mono)
+    err = np.clip(err / max(err.max(), 1e-8), 0, 1)
+    to_pil(err)[0].save("artifacts/seam_tiled_errmap.png")
+
+    # 2048 section: monolithic one-program decode fits (flash mid-attn);
+    # compare against overlap-average and the banded halo mode
+    if big > res:
+        from elasticdiffusion_tpu.parallel.halo_decode import halo_decode
+        lat_b = jax.random.normal(
+            jax.random.PRNGKey(1), (1, 4, big // pipe.vae_scale_factor,
+                                    big // pipe.vae_scale_factor),
+            jnp.float32) * pipe.bundle.config.vae.scaling_factor
+        t0 = time.time()
+        mono_b = np.asarray(pipe.decode_latents(lat_b))
+        results["big_monolithic_seconds"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        tiled_b = np.asarray(pipe.tiled_decode(lat_b))
+        results["big_tiled_overlap_avg_seconds"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        img_b = halo_decode(pipe.bundle,
+                            lat_b / pipe.bundle.config.vae.scaling_factor,
+                            num_bands=4)
+        img_b = np.asarray(jnp.clip(img_b.astype(jnp.float32) / 2 + 0.5,
+                                    0, 1))
+        results["big_resolution"] = big
+        results["big_banded_halo_seconds"] = round(time.time() - t0, 1)
+        results["big_tiled_mean_abs_err"] = float(
+            np.abs(tiled_b - mono_b).mean())
+        results["big_banded_halo_mean_abs_err"] = float(
+            np.abs(img_b - mono_b).mean())
+        to_pil(mono_b)[0].save("artifacts/seam_big_monolithic.png")
+        to_pil(img_b)[0].save("artifacts/seam_big_banded_halo.png")
+
+    with open("artifacts/SEAM_COMPARE.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Per-block UNet timing on the real chip: where does a native-resolution
+forward spend its time?
+
+Times each segment of the segmented UNet chain (stem / down_i / mid /
+up_i / out) with device syncs, at the two production batch shapes of the
+SDXL 1024x2048 step (direction batch 2*(rs+1)=16, views batch V=4).
+This is the profiling substrate for kernel work — the per-segment split
+says which blocks to attack (e.g. pallas fusions in the widest
+transformer stacks). Writes artifacts/SEGMENT_PROFILE.json.
+
+Run: python tools/segment_profile.py          (needs the TPU backend)
+Env: ED_PROF_BATCHES="16,4"  ED_PROF_REPS=3
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    assert jax.default_backend() not in ("cpu",), "needs the TPU backend"
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from elasticdiffusion_tpu.models.registry import load_bundle
+    from elasticdiffusion_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    batches = [int(x) for x in
+               os.environ.get("ED_PROF_BATCHES", "16,4").split(",")]
+    reps = int(os.environ.get("ED_PROF_REPS", "3"))
+    runtime = RuntimeConfig(param_dtype=jnp.bfloat16,
+                            compute_dtype=jnp.bfloat16, use_pallas="auto")
+    b = load_bundle("XL1.0", runtime=runtime)
+    s = b.sample_size
+    result = {"backend": jax.default_backend(), "sample_size": s,
+              "per_batch": {}}
+    for bs in batches:
+        x = jax.random.normal(jax.random.PRNGKey(0),
+                              (bs, b.in_channels, s, s), jnp.bfloat16)
+        ctx = jax.random.normal(jax.random.PRNGKey(1),
+                                (bs, 77, b.config.unet.cross_attention_dim),
+                                jnp.bfloat16)
+        pooled = jnp.zeros((bs, b.config.unet.pooled_projection_dim))
+        tids = jnp.zeros((bs, 6))
+        kw = dict(added_text_embeds=pooled, added_time_ids=tids)
+        # warm (compile)
+        t0 = time.time()
+        out = b.apply_unet_segmented(x, jnp.float32(500.0), ctx, **kw)
+        jax.device_get(out.reshape(-1)[0])
+        compile_s = time.time() - t0
+        best = None
+        for _ in range(reps):
+            timings = {}
+            t0 = time.time()
+            b.apply_unet_segmented(x, jnp.float32(500.0), ctx,
+                                   timings=timings, **kw)
+            total = time.time() - t0
+            if best is None or total < best[0]:
+                best = (total, timings)
+        total, timings = best
+        result["per_batch"][str(bs)] = {
+            "compile_seconds": round(compile_s, 1),
+            "total_seconds": round(total, 4),
+            "per_forward_seconds": round(total / bs, 4),
+            "stages": {k: round(v, 4) for k, v in timings.items()},
+        }
+        print(f"batch {bs}: total {total:.3f}s "
+              f"({total / bs * 1e3:.1f} ms/fwd) stages="
+              f"{ {k: round(v, 3) for k, v in timings.items()} }", flush=True)
+
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/SEGMENT_PROFILE.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({"ok": True}))
+
+
+if __name__ == "__main__":
+    main()
