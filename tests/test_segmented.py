@@ -107,3 +107,40 @@ def test_segmented_matches_fused_batch2():
     assert m_s["segmented"]
     assert fused.shape == seg.shape == (2, 3, 32, 32)
     np.testing.assert_allclose(seg, fused, atol=5e-5, rtol=1e-4)
+
+
+def test_segmented_scripted_matches_fused():
+    """Scripted-noise injection (the parity-harness path) must agree
+    between segmented and fused execution."""
+    b = make_toy_bundle()
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+    from elasticdiffusion_tpu.ops.resample import build_resample_plan
+    H, W = 16, 24
+    rs, steps = 2, 2
+    probe = ElasticDiffusion(bundle=b, runtime=RuntimeConfig(
+        param_dtype=jnp.float32, compute_dtype=jnp.float32, use_pallas="off"))
+    dh, dw = probe.get_downsample_size(32, 48)
+    plan = build_resample_plan(H, W, dh, dw)
+    N = plan.num_blocks
+    rng = np.random.RandomState(0)
+    init = rng.standard_normal((1, 4, H, W)).astype(np.float32)
+    n_micro = 1000 // steps
+    picks_main, picks_repaint, rep_noise = [], [], []
+    for _ in range(steps):
+        p = rng.randint(0, 4, (rs + 1, N)).astype(np.int32)
+        p[0] = 0
+        picks_main.append(p)
+        picks_repaint.append(np.zeros((1, N), np.int32))
+        rep_noise.append(rng.standard_normal(
+            (n_micro, 1, 4, H, W)).astype(np.float32))
+    scripted = {"picks_main": picks_main, "picks_repaint": picks_repaint,
+                "repaint_noise": rep_noise}
+    kw = dict(prompts="a cat", height=32, width=48, num_inference_steps=steps,
+              guidance_scale=7.5, resampling_steps=rs, repaint_sampling=True,
+              rrg_init_weight=500, rrg_stop_t=0.0, latents=init,
+              scripted_noise=scripted)
+    fused, _ = _gen(b, segmented=False, **kw)
+    seg, m_s = _gen(b, segmented=True, **kw)
+    assert m_s["segmented"]
+    np.testing.assert_allclose(seg, fused, atol=5e-5, rtol=1e-4)
