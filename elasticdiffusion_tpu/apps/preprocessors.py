@@ -26,9 +26,14 @@ _builtin_depth_fn: Optional[Callable] = None
 
 def default_depth_fn() -> Callable:
     """Lazily-built depth estimator: the Flax DPT (models/dpt.py) with
-    converted weights from $ED_DPT_DIR, or random-init as a last resort
-    (reference analog: transformers pipeline('depth-estimation'),
-    /root/reference/elastic_diffusion_w_controlnet.py:183)."""
+    converted weights from $ED_DPT_DIR (reference analog: transformers
+    pipeline('depth-estimation'),
+    /root/reference/elastic_diffusion_w_controlnet.py:183).
+
+    Without a checkpoint this RAISES unless ED_DPT_ALLOW_RANDOM=1 opts into
+    the random-init plumbing mode — a misconfigured checkpoint path must
+    fail loudly, not silently feed structured noise into conditioning
+    (ADVICE r2)."""
     global _builtin_depth_fn
     if _builtin_depth_fn is None:
         from elasticdiffusion_tpu.models.dpt import DPT_LARGE, make_depth_fn
@@ -39,10 +44,15 @@ def default_depth_fn() -> Callable:
                 convert_dpt, load_state_dict,
             )
             params = convert_dpt(load_state_dict(ckpt), DPT_LARGE)
-        else:
+        elif os.environ.get("ED_DPT_ALLOW_RANDOM") == "1":
             warnings.warn(
-                "no DPT checkpoint (set ED_DPT_DIR); using a random-init "
-                "depth estimator — depth maps will be structured noise")
+                "ED_DPT_ALLOW_RANDOM=1: using a random-init depth estimator"
+                " — depth maps will be structured noise (plumbing mode)")
+        else:
+            raise RuntimeError(
+                "depth ControlNet needs DPT weights: set ED_DPT_DIR to a "
+                "converted Intel/dpt-large checkpoint directory, or set "
+                "ED_DPT_ALLOW_RANDOM=1 to opt into random-init plumbing mode")
         _builtin_depth_fn = make_depth_fn(params, DPT_LARGE)
     return _builtin_depth_fn
 

@@ -283,6 +283,12 @@ class RuntimeConfig:
     # models on non-CPU backends, where single full-step programs exceed
     # what this environment's XLA compile service can build.
     segmented_step: str = "auto"
+    # merge shallow blocks of the segmented UNet chain into fewer programs
+    # (dispatch-overhead lever): -1 = auto (merge down/up blocks 0..k where
+    # every block is attention-free or transformer depth <= 2, keeping the
+    # deep blocks and mid as their own programs), 0 = off, k > 0 = explicit
+    # last merged block index.
+    segment_merge: int = -1
 
 
 @dataclass(frozen=True)

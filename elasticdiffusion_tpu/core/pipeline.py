@@ -66,11 +66,19 @@ class _StepStatics:
 class ElasticDiffusion:
     """Drop-in equivalent of the reference class. `device` is accepted for
     API parity but ignored (JAX owns device placement; use RuntimeConfig
-    mesh_shape for multi-chip)."""
+    mesh_shape for multi-chip).
+
+    Documented deviation: `view_batch_size` defaults to 0 = "one whole
+    batched call" rather than the reference's 1 (a conservative GPU-memory
+    default that loops views one at a time,
+    /root/reference/elastic_diffusion.py:830-831). On TPU the whole-batch
+    dispatch is both faster and fits; set 0 < view_batch_size < num_views
+    to chunk views as a memory knob (honored by BOTH the fused and the
+    segmented production step — numerically identical either way)."""
 
     def __init__(self, device=None, sd_version: str = "2.0",
                  verbose: bool = False, log_freq: int = 5,
-                 view_batch_size: int = 1, low_vram: bool = False,
+                 view_batch_size: int = 0, low_vram: bool = False,
                  checkpoint_dir: Optional[str] = None,
                  controlnet_model: Optional[str] = None,
                  tokenizer_dirs=None,
@@ -443,9 +451,12 @@ class ElasticDiffusion:
             # builders are cached per shape/config: their glue programs are
             # expensive to (re)compile on the remote service, and everything
             # prompt/condition-dependent is re-aimed via update_conditioning
+            # B is part of the key: update_conditioning re-aims a cached
+            # builder only at SAME-batch tensors (glue programs are
+            # shape-specialized; ADVICE r2)
             ck = ("seg", height, width, guidance_scale, resampling_steps,
                   new_p, self.view_config, scripted, do_repaint,
-                  cn_cond is None)
+                  cn_cond is None, B)
             cached = self._step_cache.get(ck)
             if cached is None:
                 mk = lambda rp: build_segmented_step(

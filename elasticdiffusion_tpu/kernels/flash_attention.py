@@ -35,12 +35,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # fp32 in-VMEM upcast before the dots. A bf16-dot variant (inputs kept
-    # bf16, fp32 accumulation — nominally 2x MXU rate) compiles in isolated
-    # reproductions but deterministically fails Mosaic layout inference
-    # ('Bad lhs type' on the tiled NT matmul) when the operands arrive
-    # through the production transpose+reshape chain in this environment's
-    # toolchain; keeping the proven fp32 form until the toolchain moves.
+    # fp32 in-VMEM upcast before the dots. (The bf16-dot fast path lives in
+    # _flash_kernel_bf16_nn below; this form is kept for fp32 inputs and for
+    # head dims where the bf16 dots measured slower — see flash_attention.)
     q = q_ref[0].astype(jnp.float32) * scale        # (bq, d)
     k = k_ref[0].astype(jnp.float32)                # (bk, d)
     v = v_ref[0].astype(jnp.float32)                # (bk, d)
@@ -60,12 +57,59 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
+def _flash_kernel_bf16_nn(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                          *, scale: float):
+    """bf16-dot variant: full-rate MXU feeds with fp32 accumulation.
+
+    r2's bf16 NT attempt hit a Mosaic layout failure ('Bad lhs type',
+    commit ad53e0d); on this toolchain (jax 0.9.0) the NN formulation — K
+    pre-transposed to (d, Sk) in HBM so the QK^T dot is a plain NN matmul —
+    compiles AND measures fastest at the production head dims
+    (tools/flash_bf16_probe.py). P is cast back to bf16 for the PV dot;
+    softmax statistics stay fp32 in VMEM scratch.
+    """
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                    # (bq, d)  bf16
+    kt = kt_ref[0]                                  # (d, bk)  bf16
+    v = v_ref[0]                                    # (bk, d)  bf16
+    s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_scr[:] = m_new
+    l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kb == nk - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool = False) -> jnp.ndarray:
-    """(B, Sq, H, D) x (B, Sk, H, D) -> (B, Sq, H, D), non-causal."""
+    """(B, Sq, H, D) x (B, Sk, H, D) -> (B, Sq, H, D), non-causal.
+
+    Dispatch: bf16 inputs with D >= 64 take the full-rate bf16-dot NN
+    kernel (K pre-transposed in HBM); everything else takes the fp32-upcast
+    kernel. D=40 (SD1.x) measured FASTER with fp32 dots — the narrow head
+    underfills the MXU either way and the upcast is free against the lane
+    padding (tools/flash_bf16_probe.py).
+    """
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     scale = 1.0 / (D ** 0.5)
@@ -81,15 +125,26 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     while Sk % bk:
         bk //= 2
 
+    use_bf16 = q.dtype == jnp.bfloat16 and D >= 64
+    if use_bf16:
+        kernel = _flash_kernel_bf16_nn
+        kin = kf.transpose(0, 2, 1)              # (BH, D, Sk) in HBM
+        kspec = pl.BlockSpec((1, D, bk), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM)
+    else:
+        kernel = _flash_kernel
+        kin = kf
+        kspec = pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                             memory_space=pltpu.VMEM)
+
     grid = (B * H, Sq // bq, Sk // bk)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        functools.partial(kernel, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
+            kspec,
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -106,5 +161,5 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
             transcendentals=B * H * Sq * Sk),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(qf, kin, vf)
     return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)

@@ -58,13 +58,21 @@ def _apply_kernel(x_ref, scale_ref, shift_ref, o_ref, *, silu: bool):
 
 
 def _pick_chunks(S: int, C: int, itemsize: int, budget: int = 1 << 20):
-    """Row-chunk size targeting ~1MB VMEM blocks (pipelined x2 by pallas)."""
-    chunk, n_chunks = S, 1
+    """Row-chunk size targeting ~1MB VMEM blocks (pipelined x2 by pallas).
+
+    Falls back to the largest divisor of S under the budget — halving alone
+    strands large odd S as one whole-(S, C) block, silently defeating the
+    VMEM budget the two-kernel design exists to enforce (ADVICE r2)."""
     max_rows = max(1, budget // (C * itemsize))
+    if S <= max_rows:
+        return S, 1
+    chunk = S
     while chunk > max_rows and chunk % 2 == 0:
         chunk //= 2
-        n_chunks *= 2
-    return chunk, n_chunks
+    if chunk > max_rows:
+        # odd residue: best divisor of S that fits (1 always does)
+        chunk = max(d for d in range(1, min(S, max_rows) + 1) if S % d == 0)
+    return chunk, S // chunk
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "silu",

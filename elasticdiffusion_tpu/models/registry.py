@@ -95,12 +95,38 @@ class ModelBundle:
                 return out
             return timed
 
-        h, emb = ap("stem")(self.unet_params, sample_nchw=latent_nchw,
-                            timesteps=t,
-                            added_text_embeds=added_text_embeds,
-                            added_time_ids=added_time_ids)
-        residuals = [h]
-        for i in range(n):
+        # merge plan (RuntimeConfig.segment_merge): shallow blocks 0..mk run
+        # inside merged front/tail programs — fewer dispatch roundtrips per
+        # chain (each program call is a remote roundtrip on this backend)
+        mk = self.runtime.segment_merge
+        if mk == -1:  # auto: longest shallow prefix, deep blocks stay solo
+            mk = -1
+            for i in range(n - 1):
+                if (not cfg.down_block_has_attn[i]
+                        or cfg.transformer_layers_per_block[i] <= 2):
+                    mk = i
+                else:
+                    break
+        elif mk == 0:
+            mk = -1  # off
+        mk = min(mk, n - 2)
+
+        if mk >= 0:
+            h, emb, res_t = ap(f"front_{mk}")(
+                self.unet_params, sample_nchw=latent_nchw, timesteps=t,
+                encoder_hidden_states=context,
+                added_text_embeds=added_text_embeds,
+                added_time_ids=added_time_ids)
+            residuals = list(res_t)
+            first_down = mk + 1
+        else:
+            h, emb = ap("stem")(self.unet_params, sample_nchw=latent_nchw,
+                                timesteps=t,
+                                added_text_embeds=added_text_embeds,
+                                added_time_ids=added_time_ids)
+            residuals = [h]
+            first_down = 0
+        for i in range(first_down, n):
             h, outs = ap(f"down_{i}")(self.unet_params, hidden=h, emb=emb,
                                       encoder_hidden_states=context)
             residuals.extend(outs)
@@ -111,11 +137,15 @@ class ModelBundle:
         h = ap("mid")(self.unet_params, hidden=h, emb=emb,
                       encoder_hidden_states=context,
                       mid_block_residual=mid_block_residual)
-        for i in reversed(range(n)):
+        for i in reversed(range(first_down, n)):
             k = cfg.layers_per_block + 1
             sk, residuals = residuals[-k:], residuals[:-k]
             h = ap(f"up_{i}")(self.unet_params, hidden=h, emb=emb,
                               encoder_hidden_states=context, skips=tuple(sk))
+        if mk >= 0:
+            return ap(f"tail_{mk}")(self.unet_params, hidden=h, emb=emb,
+                                    encoder_hidden_states=context,
+                                    skips=tuple(residuals))
         return ap("out")(self.unet_params, hidden=h)
 
     def apply_controlnet(self, latent_nchw, t, context, condition_nchw,

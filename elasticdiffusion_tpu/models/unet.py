@@ -201,6 +201,31 @@ class UNet2DCondition(nn.Module):
                             [s.astype(self.dtype) for s in skips])
         if stage == "out":
             return out_block(hidden.astype(self.dtype))
+        # merged stages: fewer dispatches in the segmented chain (the shallow
+        # blocks individually underfill a program; see registry.py
+        # apply_unet_segmented merge plan)
+        if stage.startswith("front_"):
+            # stem + down blocks 0..k inclusive -> (h, emb, residuals)
+            k = int(stage[6:])
+            x = stem(sample_nchw)
+            e = make_emb(x.shape[0])
+            residuals = [x]
+            for i in range(k + 1):
+                x, outs = down_block(i, x, e)
+                residuals.extend(outs)
+            return x, e, tuple(residuals)
+        if stage.startswith("tail_"):
+            # up blocks k..0 + out head; skips = flattened residuals for
+            # blocks k..0 in stack order (popped back-to-front)
+            k = int(stage[5:])
+            x = hidden.astype(self.dtype)
+            e = emb.astype(self.dtype)
+            sk = [s.astype(self.dtype) for s in skips]
+            for i in reversed(range(k + 1)):
+                cnt = cfg.layers_per_block + 1
+                mine, sk = sk[-cnt:], sk[:-cnt]
+                x = up_block(i, x, e, mine)
+            return out_block(x)
         assert stage == "full", f"unknown stage {stage}"
 
         # ---- full forward ----

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -51,11 +52,42 @@ def replicated(mesh: Optional[Mesh]):
 
 
 def shard_views(x, mesh: Optional[Mesh]):
-    """Constrain the leading (views) axis to shard over the 'views' mesh axis."""
+    """Constrain the leading (views) axis to shard over the 'views' mesh axis.
+
+    Constraint-only: when the axis does not divide the mesh width this
+    degrades to replication. UNet-INPUT sites must instead use
+    pad_and_shard_views so the fan-out actually shards at flagship batch
+    sizes (e.g. SDXL 1024x2048 rs=7 merged batch 20 on an 8-wide mesh)."""
     if mesh is None or "views" not in mesh.axis_names:
         return x
     spec = P("views") if x.shape[0] % mesh.shape["views"] == 0 else P()
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def view_pad_rows(n: int, mesh: Optional[Mesh]) -> int:
+    """Rows to append so a leading axis of size n divides the views mesh
+    width (0 when no mesh / no views axis)."""
+    if mesh is None or "views" not in mesh.axis_names:
+        return 0
+    return (-n) % mesh.shape["views"]
+
+
+def pad_rows_to_mesh(x, mesh: Optional[Mesh]):
+    """Pad the leading axis to a multiple of the views mesh width by
+    duplicating the leading rows. Callers slice outputs back to the true
+    batch; padded rows are pure throwaway compute that buys even sharding."""
+    pad = view_pad_rows(x.shape[0], mesh)
+    if pad:
+        x = jnp.concatenate([x, x[:pad]])
+    return x
+
+
+def pad_and_shard_views(x, mesh: Optional[Mesh]):
+    """Pad the leading axis to the views mesh width, then shard it. The
+    batched-UNet entry point for the view/substep fan-out: guarantees the
+    P('views') spec engages at ANY batch size (the silent-replication
+    hazard of shard_views on non-divisible batches)."""
+    return shard_views(pad_rows_to_mesh(x, mesh), mesh)
 
 
 def shard_batch(x, mesh: Optional[Mesh]):

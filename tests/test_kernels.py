@@ -102,6 +102,32 @@ def test_fused_groupnorm_chunked_rows():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_groupnorm_pick_chunks_odd_rows_respects_budget():
+    """ADVICE r2: halving alone strands a large odd H*W as one whole-(S, C)
+    VMEM block; the divisor fallback must keep chunks under the budget."""
+    from elasticdiffusion_tpu.kernels.groupnorm import _pick_chunks
+    # S = 3^7 = 2187 rows, C=512 fp32: whole block 4.5MB >> 1MB budget,
+    # and S is odd so the halving loop alone would never shrink it
+    chunk, n = _pick_chunks(2187, 512, 4)
+    assert chunk * n == 2187
+    assert chunk * 512 * 4 <= (1 << 20), f"chunk {chunk} blows the budget"
+    assert n > 1
+    # even-S fast path unchanged
+    chunk, n = _pick_chunks(4096, 128, 4)
+    assert chunk * n == 4096 and chunk * 128 * 4 <= (1 << 20)
+    # correctness through the kernel at an odd S (63*9 rows, divisor 189)
+    from elasticdiffusion_tpu.kernels.groupnorm import (
+        fused_group_norm, reference_group_norm,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 63, 9, 64), jnp.float32)
+    scale = jnp.ones((64,))
+    bias = jnp.zeros((64,))
+    want = reference_group_norm(x, scale, bias, 32)
+    got = fused_group_norm(x, scale, bias, 32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_groupnorm32_pallas_wiring_matches_manual():
     """GroupNorm32(use_pallas='on') routes through the fused kernel
     (interpret mode on CPU) and matches the manual path, incl. fused SiLU."""

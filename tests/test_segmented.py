@@ -109,6 +109,50 @@ def test_segmented_matches_fused_batch2():
     np.testing.assert_allclose(seg, fused, atol=5e-5, rtol=1e-4)
 
 
+def test_segmented_controlnet_batch2():
+    """B=2 prompts + condition image through the segmented step: the per-view
+    condition must broadcast over the prompt batch (V*B rows, not V) —
+    ADVICE r2 repro (crashed with incompatible broadcast shapes)."""
+    b = make_toy_bundle(xl=True, controlnet="canny")
+    cond = np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+    kw = dict(prompts=["a cat", "a dog"], height=32, width=32,
+              num_inference_steps=2, guidance_scale=7.5, resampling_steps=1,
+              new_p=0.3, rrg_init_weight=0, repaint_sampling=True,
+              condition_image=cond, controlnet_conditioning_scale=0.5)
+    fused, _ = _gen(b, segmented=False, **kw)
+    seg, m_s = _gen(b, segmented=True, **kw)
+    assert m_s["segmented"]
+    assert fused.shape == seg.shape == (2, 3, 32, 32)
+    np.testing.assert_allclose(seg, fused, atol=5e-5, rtol=1e-4)
+
+
+def test_segmented_chunked_matches_whole():
+    """view_batch_size chunking of the segmented merged batch (the memory
+    knob, /root/reference/elastic_diffusion.py:830-831) must be numerically
+    identical to the whole-batch dispatch — including a ragged tail
+    (V=24 views at 32x48, chunks of 5 -> 4 full chunks + padded tail)."""
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+    b = make_toy_bundle()
+    kw = dict(prompts="a cat", height=32, width=48, num_inference_steps=2,
+              guidance_scale=7.5, resampling_steps=2, new_p=0.3,
+              rrg_init_weight=500, rrg_stop_t=0.0, repaint_sampling=True,
+              return_arrays=True)
+    rt = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                       use_pallas="off", segmented_step="on")
+
+    whole = ElasticDiffusion(bundle=b, runtime=rt)
+    assert whole.view_batch_size == 0  # TPU-first default: one batched call
+    whole.seed_everything(7)
+    a, _ = whole.generate_image(**kw)
+
+    chunked = ElasticDiffusion(bundle=b, runtime=rt, view_batch_size=5)
+    chunked.seed_everything(7)
+    c, _ = chunked.generate_image(**kw)
+
+    np.testing.assert_allclose(c, a, atol=5e-5, rtol=1e-4)
+
+
 def test_segmented_scripted_matches_fused():
     """Scripted-noise injection (the parity-harness path) must agree
     between segmented and fused execution."""

@@ -61,16 +61,25 @@ def main():
     lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4, lat_res, lat_res),
                             jnp.float32) * pipe.bundle.config.vae.scaling_factor
 
-    results = {"resolution": res, "backend": jax.default_backend()}
-    t0 = time.time()
-    mono = np.asarray(pipe.decode_latents(lat))
-    results["monolithic_seconds"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    halo = np.asarray(pipe.halo_decode(lat))
-    results["halo_seconds"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    tiled = np.asarray(pipe.tiled_decode(lat))
-    results["tiled_overlap_avg_seconds"] = round(time.time() - t0, 1)
+    def timed(label, fn, results):
+        """First call = cold (includes remote-service compile); second call
+        = warm. r2's SEAM_COMPARE recorded only first calls, which made
+        1536^2 monolithic look 150x slower than 2048^2 (cold 1082 s was
+        ~all compile; VERDICT r2 weak #4) — both are recorded now."""
+        t0 = time.time()
+        out = np.asarray(fn())
+        results[f"{label}_cold_seconds"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        out = np.asarray(fn())
+        results[f"{label}_seconds"] = round(time.time() - t0, 1)
+        return out
+
+    results = {"resolution": res, "backend": jax.default_backend(),
+               "timing": "cold = first call incl. remote XLA compile; "
+                         "warm ('_seconds') = second call"}
+    mono = timed("monolithic", lambda: pipe.decode_latents(lat), results)
+    halo = timed("halo", lambda: pipe.halo_decode(lat), results)
+    tiled = timed("tiled_overlap_avg", lambda: pipe.tiled_decode(lat), results)
 
     for name, img in (("halo", halo), ("tiled_overlap_avg", tiled)):
         d = np.abs(img - mono)
@@ -93,20 +102,19 @@ def main():
             jax.random.PRNGKey(1), (1, 4, big // pipe.vae_scale_factor,
                                     big // pipe.vae_scale_factor),
             jnp.float32) * pipe.bundle.config.vae.scaling_factor
-        t0 = time.time()
-        mono_b = np.asarray(pipe.decode_latents(lat_b))
-        results["big_monolithic_seconds"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        tiled_b = np.asarray(pipe.tiled_decode(lat_b))
-        results["big_tiled_overlap_avg_seconds"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        img_b = halo_decode(pipe.bundle,
-                            lat_b / pipe.bundle.config.vae.scaling_factor,
-                            num_bands=4)
-        img_b = np.asarray(jnp.clip(img_b.astype(jnp.float32) / 2 + 0.5,
-                                    0, 1))
+        mono_b = timed("big_monolithic", lambda: pipe.decode_latents(lat_b),
+                       results)
+        tiled_b = timed("big_tiled_overlap_avg",
+                        lambda: pipe.tiled_decode(lat_b), results)
+
+        def banded():
+            img = halo_decode(pipe.bundle,
+                              lat_b / pipe.bundle.config.vae.scaling_factor,
+                              num_bands=4)
+            return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0, 1)
+
+        img_b = timed("big_banded_halo", banded, results)
         results["big_resolution"] = big
-        results["big_banded_halo_seconds"] = round(time.time() - t0, 1)
         results["big_tiled_mean_abs_err"] = float(
             np.abs(tiled_b - mono_b).mean())
         results["big_banded_halo_mean_abs_err"] = float(
