@@ -61,10 +61,16 @@ def _flash_kernel_bf16_nn(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
                           *, scale: float):
     """bf16-dot variant: full-rate MXU feeds with fp32 accumulation.
 
-    r2's bf16 NT attempt hit a Mosaic layout failure ('Bad lhs type',
-    commit ad53e0d); on this toolchain (jax 0.9.0) the NN formulation — K
-    pre-transposed to (d, Sk) in HBM so the QK^T dot is a plain NN matmul —
-    compiles AND measures fastest at the production head dims
+    r2's bf16 NT attempt hit a Mosaic 'Bad lhs type' failure (commit
+    ad53e0d) that "compiled in isolation but failed in production" — ROOT
+    CAUSE (r3): utils/cache.enable_compilation_cache sets the GLOBAL
+    jax_default_matmul_precision='highest', which stamps
+    contract_precision<fp32> onto the kernel's bf16 tpu.matmul — Mosaic
+    rejects fp32-precision bf16 operands. Isolated probes never called
+    enable_compilation_cache, so they always compiled. The dots below pin
+    precision=DEFAULT explicitly, immunizing the kernel against the global
+    override. The NN formulation (K pre-transposed to (d, Sk) in HBM)
+    also measures fastest at the production head dims
     (tools/flash_bf16_probe.py). P is cast back to bf16 for the PV dot;
     softmax statistics stay fp32 in VMEM scratch.
     """
@@ -81,7 +87,8 @@ def _flash_kernel_bf16_nn(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     kt = kt_ref[0]                                  # (d, bk)  bf16
     v = v_ref[0]                                    # (bk, d)  bf16
     s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT) * scale
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
@@ -90,7 +97,8 @@ def _flash_kernel_bf16_nn(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
         p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(kb == nk - 1)
     def _():

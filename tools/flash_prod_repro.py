@@ -89,6 +89,14 @@ VARIANTS = {
 
 def main():
     assert jax.default_backend() != "cpu"
+    import os as _os
+    if _os.environ.get("ED_REPRO_CACHE", "1") == "1":
+        # the ACTUAL production delta: enable_compilation_cache sets the
+        # global jax_default_matmul_precision='highest', which poisons bf16
+        # pallas dots with contract_precision<fp32> (root cause of the
+        # 'Bad lhs type' Mosaic failures r2/r3)
+        from elasticdiffusion_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
     names = sys.argv[1:] or list(VARIANTS)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, S, C), jnp.bfloat16)
