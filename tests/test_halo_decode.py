@@ -64,6 +64,31 @@ def test_halo_exact_on_mesh(bundle):
                                atol=5e-3, rtol=5e-2)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_halo_exact_on_mesh_full_vae_architecture():
+    """VERDICT r2 #8: halo-vs-monolithic equality on the 8-device mesh at a
+    NON-TOY configuration — the full SD VAE decoder architecture
+    (128/256/512/512) at latent 64x64 -> 512x512 RGB."""
+    import jax.numpy as jnp
+    from elasticdiffusion_tpu.configs import RuntimeConfig, get_bundle_config
+    from elasticdiffusion_tpu.models.registry import load_bundle
+    rt = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                       use_pallas="off")
+    b = load_bundle("1.5", runtime=rt, bundle_config=get_bundle_config("1.5"))
+    mesh = make_mesh((1, 8))
+    lat = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 64, 64)) * 0.5
+    want = halo_decode(b, lat, mesh=None, num_bands=1)  # functional monolithic
+    got = halo_decode(b, lat, mesh=mesh)
+    assert got.shape == want.shape == (1, 3, 512, 512)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-3)
+    # and against the flax monolithic decode (separately-compiled program)
+    flax_want = b.vae_decode(lat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(flax_want),
+                               atol=1e-3, rtol=1e-2)
+
+
 def test_sequential_bands_approximate(bundle):
     """Per-band GN stats: approximate, but interior must be close and output
     finite/seamless in shape."""
