@@ -91,7 +91,11 @@ class ElasticDiffusion:
         self.view_batch_size = view_batch_size
         self.low_vram = low_vram
         if runtime is None:
-            runtime = RuntimeConfig(remat_unet=low_vram)
+            # inherit the bundle's runtime when one is supplied — otherwise a
+            # caller-configured bundle (e.g. segmented_step="on") would be
+            # silently overridden by a fresh default config
+            runtime = bundle.runtime if bundle is not None \
+                else RuntimeConfig(remat_unet=low_vram)
         self.runtime = runtime
         if bundle is None:
             bundle = load_bundle(sd_version, runtime=runtime,
@@ -566,19 +570,39 @@ class ElasticDiffusion:
             steps_iter = progress(steps_iter)
         total_fwd = 0
         import time as _time
+        # per-step constants as DEVICE tables sliced in the loop: host->device
+        # uploads inside the loop are tunnel roundtrips that flush the async
+        # dispatch pipeline (measured 2-3x per-step inflation vs the bench's
+        # device-resident inputs); table slices stay async
+        T = num_inference_steps
+        t_tbl = jnp.asarray(np.asarray(st.timesteps, np.float32))
+        coeffs_tbl = jnp.asarray(np.asarray(coeff_table))
+        rrg_tbl = jnp.asarray(np.asarray(rrg_w, np.float32))
+        undo_s1mb_tbl = undo_sb_tbl = None
+        if do_repaint and not use_fused:
+            undo = [self.scheduler.undo_step_coeffs(st, int(st.timesteps[i + 1]))
+                    for i in range(T - 1)]
+            undo_s1mb_tbl = jnp.asarray(np.stack([np.asarray(u[0]) for u in undo]))
+            undo_sb_tbl = jnp.asarray(np.stack([np.asarray(u[1]) for u in undo]))
+        # flush the queued preamble (text encode, background VAE encodes,
+        # init latent) before starting the denoise timer: dispatch is async
+        # on the tunnel backend and the first step's timing would otherwise
+        # absorb all of it (1-element fetches; block_until_ready does not
+        # wait for execution on this backend)
+        if not use_fused:
+            for _a in (lat, *(t for d in (bg_down_tbl, bg_view_tbl)
+                              for t in d.values())):
+                jax.device_get(jnp.ravel(_a)[0])
         t_start = _time.time()
         for i in steps_iter:
-            t = float(st.timesteps[i])
-            inp = {"t": jnp.float32(t), "coeffs": jnp.asarray(coeff_table[i]),
-                   "rrg_w": jnp.float32(rrg_w[i]),
+            inp = {"t": t_tbl[i], "coeffs": coeffs_tbl[i],
+                   "rrg_w": rrg_tbl[i],
                    "bg_down": {s: tbl[i] for s, tbl in bg_down_tbl.items()},
                    "bg_view": {s: tbl[i] for s, tbl in bg_view_tbl.items()}}
             use_repaint = do_repaint and i < num_inference_steps - 1
             if use_repaint:
-                s1mb, sb = self.scheduler.undo_step_coeffs(
-                    st, int(st.timesteps[i + 1]))
-                inp["undo_s1mb"] = jnp.asarray(s1mb)
-                inp["undo_sb"] = jnp.asarray(sb)
+                inp["undo_s1mb"] = undo_s1mb_tbl[i]
+                inp["undo_sb"] = undo_sb_tbl[i]
             if scripted:
                 for k_, v_ in scripted_noise.items():
                     arr = v_[i] if isinstance(v_, (list, tuple)) else v_
