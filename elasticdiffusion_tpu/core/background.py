@@ -87,25 +87,39 @@ def make_background_table(bundle, timesteps: np.ndarray, spec: PadSpec,
     scaling = bundle.config.vae.scaling_factor
     lat_ch = bundle.config.vae.latent_channels
 
-    @jax.jit
-    def encode_one(color, enc_noise):
-        img = 2.0 * color - 1.0  # torch.rand in [0,1] -> VAE input in [-1,1]
-        return bundle.vae_encode_sample(img, enc_noise) * scaling
+    # One compiled program PER SIDE, not per (side, t): a Python loop over
+    # timesteps dispatches T VAE encodes (each a tunnel roundtrip on the
+    # remote backend — the warm-run preamble was ~14 s at T=3 and scales
+    # linearly with step count). lax.map over the T axis keeps the exact
+    # per-(side, t) fold_in key derivation while batching the whole table
+    # build into one dispatch; batch_size bounds the VAE activation memory.
+    ts_i = np.asarray([int(t) for t in timesteps], np.int32)
+    ab = np.asarray([scheduler.add_noise_coeffs(int(t)) for t in timesteps],
+                    np.float32)  # (T, 2)
+    ts_dev = jnp.asarray(ts_i)
+    a_dev = jnp.asarray(ab[:, 0])
+    b_dev = jnp.asarray(ab[:, 1])
 
     for side, (ph, pw) in spec.side_shapes().items():
         sid = string_to_number(f"{side}_{ph}_{pw}")
-        rows = []
-        for t in timesteps:
-            k = jax.random.fold_in(jax.random.fold_in(base_key, sid), int(t))
-            k_color, k_enc, k_noise = jax.random.split(k, 3)
-            color = jax.random.uniform(k_color, (1, 3, 1, 1))
-            color = jnp.broadcast_to(color, (1, 3, ph * vsf, pw * vsf))
-            enc_noise = jax.random.normal(k_enc, (1, lat_ch, ph, pw))
-            bg = encode_one(color, enc_noise)
-            noise = jax.random.normal(k_noise, bg.shape)
-            a, b = scheduler.add_noise_coeffs(int(t))
-            rows.append(a * bg + b * noise)
-        tables[side] = jnp.concatenate(rows, axis=0)  # (T, C, ph, pw)
+
+        @jax.jit
+        def build(key, ts, a, b, _sid=sid, _ph=ph, _pw=pw):
+            def one(args):
+                t, a1, b1 = args
+                k = jax.random.fold_in(jax.random.fold_in(key, _sid), t)
+                k_color, k_enc, k_noise = jax.random.split(k, 3)
+                color = jax.random.uniform(k_color, (1, 3, 1, 1))
+                color = jnp.broadcast_to(color, (1, 3, _ph * vsf, _pw * vsf))
+                enc_noise = jax.random.normal(k_enc, (1, lat_ch, _ph, _pw))
+                # torch.rand in [0,1] -> VAE input in [-1,1]
+                bg = bundle.vae_encode_sample(2.0 * color - 1.0,
+                                              enc_noise) * scaling
+                noise = jax.random.normal(k_noise, bg.shape)
+                return (a1 * bg + b1 * noise)[0]
+            return jax.lax.map(one, (ts, a, b),
+                               batch_size=min(8, len(ts_i)))
+        tables[side] = build(base_key, ts_dev, a_dev, b_dev)  # (T, C, ph, pw)
     return tables
 
 
