@@ -20,9 +20,13 @@ Result: the multi-chip halo decode equals monolithic decode exactly (up to
 compile-order float noise) — no seams, no averaging — while each chip only
 materializes 1/n of the full-resolution activations.
 
-The single-chip fallback decodes sequential halo bands with PER-BAND GN
-stats: a memory-bounded approximation in the same class as the reference's
-tiles, but without count-averaging seams in the conv path.
+Single-chip, above the monolithic memory budget, the EXACT streamed stage B
+(see the section comment at _gn_moments below) keeps full tensors in HBM but
+computes in row chunks with global GN statistics — exact at any size. A
+sequential halo-band mode with PER-BAND GN stats (a memory-bounded
+approximation in the same class as the reference's tiles, but without
+count-averaging seams in the conv path) is kept behind explicit num_bands
+for comparison.
 """
 
 from __future__ import annotations
@@ -162,15 +166,157 @@ def _stage_b_bands_jit(hidden, dec, cfg, n, halo, vsf):
     return bands.reshape(B, n * hs * vsf, W * vsf, -1)
 
 
+# ---------------------------------------------------------------------------
+# EXACT streamed stage B (single chip).
+#
+# The sequential-band fallback above recomputes halo windows per band and —
+# more importantly — approximates GroupNorm with per-band statistics. The
+# streamed path below is exact at any size: every op keeps its FULL input and
+# output in HBM (the cheap part — one fp32 tensor per level) but computes in
+# row chunks via lax.map, so the expensive part (conv workspace, normalized
+# activations, the x2-upsampled tensor) only ever exists one chunk at a time.
+# GroupNorm statistics are global reductions over the stored full tensor —
+# exact, and a bandwidth-bound single pass. Two details make it equal to
+# monolithic decode bit-for-bit in structure:
+#   * conv edge padding must be zeros AFTER gn+silu, so chunks are cut from
+#     the RAW input with one halo row, activated, then boundary halo rows are
+#     masked to zero (gn(0) != 0, so pad-then-activate would be wrong);
+#   * the x2 nearest upsample is fused into the following conv's chunk read
+#     (slice small rows -> repeat -> conv), so the repeated full-resolution
+#     tensor (4 GB at 2048^2 fp32) is never materialized.
+# ---------------------------------------------------------------------------
+
+
+def _gn_moments(x, eps: float = 1e-6):
+    """Exact global GroupNorm moments: (B, g) mean and rsqrt(var + eps)."""
+    B, H, W, C = x.shape
+    g = _gn_groups(C)
+    xf = x.astype(jnp.float32).reshape(B, H * W, g, C // g)
+    cnt = float(H * W * (C // g))
+    mean = jnp.sum(xf, axis=(1, 3)) / cnt
+    var = jnp.sum(xf * xf, axis=(1, 3)) / cnt - mean * mean
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+def _row_chunk(H: int, W: int, C: int, budget: int = 1 << 26) -> int:
+    """Largest divisor of H whose (chunk, W, C) fp32 slab fits the budget."""
+    target = max(1, budget // (W * C * 4))
+    best = 1
+    for d in range(1, H + 1):
+        if H % d == 0 and d <= target:
+            best = d
+    return best
+
+
+def _stream_nsc(x, gn, mean, inv, conv, chunk, skip=None):
+    """GroupNorm(affine) -> silu -> 3x3 conv, streamed over row chunks.
+
+    mean/inv are the EXACT global moments of x. skip, if given, is added to
+    the conv output chunk (the resnet residual), fused so no extra
+    full-size temporary is live."""
+    B, H, W, C = x.shape
+    g = _gn_groups(C)
+    scale = gn["scale"].astype(jnp.float32).reshape(g, C // g)
+    bias = gn["bias"].astype(jnp.float32).reshape(g, C // g)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    n = H // chunk
+
+    def piece(i):
+        sl = jax.lax.dynamic_slice_in_dim(xp, i * chunk, chunk + 2, axis=1)
+        rows = i * chunk - 1 + jnp.arange(chunk + 2)
+        mask = ((rows >= 0) & (rows < H)).astype(x.dtype)[None, :, None, None]
+        a = sl.astype(jnp.float32).reshape(B, chunk + 2, W, g, C // g)
+        a = (a - mean[:, None, None, :, None]) * inv[:, None, None, :, None]
+        a = (a * scale + bias).reshape(B, chunk + 2, W, C).astype(x.dtype)
+        a = jax.nn.silu(a) * mask
+        out = _conv(a, conv["kernel"], conv["bias"], h_pad=(0, 0))
+        if skip is not None:
+            out = out + jax.lax.dynamic_slice_in_dim(
+                skip, i * chunk, chunk, axis=1)
+        return out
+
+    out = jax.lax.map(piece, jnp.arange(n))       # (n, B, chunk, W, Cout)
+    return jnp.moveaxis(out, 0, 1).reshape(B, H, W, -1)
+
+
+def _stream_conv1x1(x, conv, chunk):
+    B, H, W, C = x.shape
+    n = H // chunk
+
+    def piece(i):
+        sl = jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis=1)
+        return _conv(sl, conv["kernel"], conv["bias"],
+                     h_pad=(0, 0), w_pad=(0, 0))
+
+    out = jax.lax.map(piece, jnp.arange(n))
+    return jnp.moveaxis(out, 0, 1).reshape(B, H, W, -1)
+
+
+def _stream_upsample_conv(x, conv, chunk):
+    """x2 nearest upsample fused into a streamed 3x3 conv: each OUTPUT chunk
+    slices the small tensor, repeats x2 in-chunk, and convs — the repeated
+    full tensor never exists."""
+    B, H, W, C = x.shape
+    Ho, Wo = 2 * H, 2 * W
+    assert chunk % 2 == 0 and Ho % chunk == 0
+    cs = chunk // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    n = Ho // chunk
+
+    def piece(i):
+        sl = jax.lax.dynamic_slice_in_dim(xp, i * cs, cs + 2, axis=1)
+        up = jnp.repeat(jnp.repeat(sl, 2, axis=1), 2, axis=2)
+        up = up[:, 1:-1]                          # (B, chunk + 2, Wo, C)
+        return _conv(up, conv["kernel"], conv["bias"], h_pad=(0, 0))
+
+    out = jax.lax.map(piece, jnp.arange(n))
+    return jnp.moveaxis(out, 0, 1).reshape(B, Ho, Wo, -1)
+
+
+def _resnet_streamed(x, p, chunk):
+    m1, i1 = _gn_moments(x)
+    h = _stream_nsc(x, p["norm1"]["GroupNorm_0"], m1, i1, p["conv1"], chunk)
+    m2, i2 = _gn_moments(h)
+    skip = x if "conv_shortcut" not in p \
+        else _stream_conv1x1(x, p["conv_shortcut"], chunk)
+    return _stream_nsc(h, p["norm2"]["GroupNorm_0"], m2, i2, p["conv2"],
+                       chunk, skip=skip)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _stage_b_streamed_jit(hidden, dec, cfg):
+    bo = list(reversed(cfg.block_out_channels))
+    x = hidden
+    for i, ch in enumerate(bo):
+        chunk = _row_chunk(x.shape[1], x.shape[2], max(x.shape[3], ch))
+        for j in range(cfg.layers_per_block + 1):
+            x = _resnet_streamed(x, dec[f"up_{i}_{j}"], chunk)
+        if i < len(bo) - 1:
+            up_chunk = _row_chunk(2 * x.shape[1], 2 * x.shape[2], ch)
+            if up_chunk % 2:
+                up_chunk = 2 * up_chunk if (2 * x.shape[1]) % (2 * up_chunk) \
+                    == 0 else 2
+            x = _stream_upsample_conv(x, dec[f"up_{i}_upsample"]["conv"],
+                                      up_chunk)
+    m, inv = _gn_moments(x)
+    chunk = _row_chunk(x.shape[1], x.shape[2], x.shape[3])
+    return _stream_nsc(x, dec["conv_norm_out"]["GroupNorm_0"], m, inv,
+                       dec["conv_out"], chunk)
+
+
 def halo_decode(bundle, latents_nchw, mesh: Optional[Mesh] = None,
-                halo: int = DEFAULT_HALO, num_bands: Optional[int] = None):
+                halo: int = DEFAULT_HALO, num_bands: Optional[int] = None,
+                streamed: Optional[bool] = None):
     """(B, 4, H, W) scaled latents -> (B, 3, 8H, 8W) image in [-1, 1].
 
     Multi-chip (mesh with a 'views' axis > 1): EXACT halo-exchange decode.
-    Single-chip: sequential approximate bands when num_bands > 1, else
-    monolithic stage B (exact). Every branch runs as a jitted program
-    (eager op-by-op execution would hold all intermediates live — OOM at
-    2048^2 fp32 — and dispatch one remote program per op on this backend).
+    Single-chip defaults (num_bands=None): monolithic stage B up to the
+    measured memory budget, EXACT streamed stage B above it — both exact at
+    any size. Explicit num_bands>1 selects the sequential approximate-GN
+    band path (kept for comparison/tests). Every branch runs as a jitted
+    program (eager op-by-op execution would hold all intermediates live —
+    OOM at 2048^2 fp32 — and dispatch one remote program per op on this
+    backend).
     """
     B, C, H, W = latents_nchw.shape
     vsf = bundle.vae_scale_factor
@@ -198,13 +344,34 @@ def halo_decode(bundle, latents_nchw, mesh: Optional[Mesh] = None,
                         check_rep=False)(hidden)
         return jnp.transpose(out, (0, 3, 1, 2))
 
-    n = num_bands or 1
-    n = max(1, min(n, H))
-    while H % n:
-        n -= 1
+    def _bands(n):
+        n = max(1, min(n, H))
+        while H % n:
+            n -= 1
+        return n
+
+    if num_bands is None:
+        # Predictive path choice — do NOT probe monolithic and fall back on
+        # OOM: on the remote backend a failed program's allocations are never
+        # released, so every subsequent decode in the process OOMs too
+        # (observed: mono OOM at 2048^2 poisoned 4..256-band retries that all
+        # succeed in a fresh process). Budget: 1024x2048 output monolithic
+        # decode measured to fit WITH the SD-scale UNet resident; above that,
+        # use the EXACT streamed stage B (full tensors in HBM, chunked
+        # compute — see _stage_b_streamed_jit).
+        out_px = (H * vsf) * (W * vsf)
+        MAX_PX = 2.2e6
+        if streamed or (streamed is None and out_px > MAX_PX):
+            out = _stage_b_streamed_jit(hidden, dec, cfg)
+            return jnp.transpose(out, (0, 3, 1, 2))
+        n = 1
+    else:
+        if streamed:
+            out = _stage_b_streamed_jit(hidden, dec, cfg)
+            return jnp.transpose(out, (0, 3, 1, 2))
+        n = _bands(num_bands)
     if n == 1:
         out = _stage_b_mono_jit(hidden, dec, cfg)
-        return jnp.transpose(out, (0, 3, 1, 2))
-
-    out = _stage_b_bands_jit(hidden, dec, cfg, n, halo, vsf)
+    else:
+        out = _stage_b_bands_jit(hidden, dec, cfg, n, halo, vsf)
     return jnp.transpose(out, (0, 3, 1, 2))

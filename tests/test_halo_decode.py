@@ -89,6 +89,35 @@ def test_halo_exact_on_mesh_full_vae_architecture():
                                atol=1e-3, rtol=1e-2)
 
 
+def test_streamed_stage_b_exact(bundle):
+    """EXACT streamed stage B (global GN moments, chunked compute) must match
+    the functional monolithic stage B tightly — same math, only the
+    chunking/fusion differs."""
+    lat = jax.random.normal(jax.random.PRNGKey(6), (1, 4, 32, 16)) * 0.5
+    want = halo_decode(bundle, lat, mesh=None, num_bands=1)
+    got = halo_decode(bundle, lat, mesh=None, streamed=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_streamed_stage_b_exact_full_vae_architecture():
+    """Streamed-vs-monolithic equality at the full SD VAE decoder
+    architecture (128/256/512/512), latent 32x64 -> 256x512 RGB."""
+    from elasticdiffusion_tpu.configs import RuntimeConfig, get_bundle_config
+    from elasticdiffusion_tpu.models.registry import load_bundle
+    rt = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                       use_pallas="off")
+    b = load_bundle("1.5", runtime=rt, bundle_config=get_bundle_config("1.5"))
+    lat = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 32, 64)) * 0.5
+    want = halo_decode(b, lat, mesh=None, num_bands=1)
+    got = halo_decode(b, lat, mesh=None, streamed=True)
+    assert got.shape == want.shape == (1, 3, 256, 512)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-3)
+
+
 def test_sequential_bands_approximate(bundle):
     """Per-band GN stats: approximate, but interior must be close and output
     finite/seamless in shape."""
