@@ -39,7 +39,8 @@ from elasticdiffusion_tpu.sched.ddim import DDIMScheduler
 from elasticdiffusion_tpu.sched.weight_schedulers import (
     CosineScheduler, make_rrg_scheduler, rrg_weight_table,
 )
-from elasticdiffusion_tpu.utils.image import make_grid, to_pil
+from elasticdiffusion_tpu.utils.image import (make_grid, to_pil,
+                                              to_pil_device)
 from elasticdiffusion_tpu.utils.timeit import timelog
 
 
@@ -354,6 +355,8 @@ class ElasticDiffusion:
         spelling (/root/reference/elastic_diffusion.py:952-965; SURVEY
         Appendix B.5). Extras: latents/scripted_noise (parity injection),
         condition_image (ControlNet), return_arrays."""
+        import time as _time
+        t_fn0 = _time.time()
         b = self.bundle
         if isinstance(prompts, str):
             prompts = [prompts]
@@ -569,7 +572,6 @@ class ElasticDiffusion:
         if progress is not None:
             steps_iter = progress(steps_iter)
         total_fwd = 0
-        import time as _time
         # per-step constants as DEVICE tables sliced in the loop: host->device
         # uploads inside the loop are tunnel roundtrips that flush the async
         # dispatch pipeline (measured 2-3x per-step inflation vs the bench's
@@ -628,6 +630,7 @@ class ElasticDiffusion:
                 "unet_view_forwards": total_fwd,
                 "denoise_seconds": elapsed,
                 "unet_view_forwards_per_sec": total_fwd / max(elapsed, 1e-9),
+                "preamble_seconds": t_start - t_fn0,
                 "segmented": use_segmented,
             }
             if use_segmented and getattr(self, "collect_phase_times", False):
@@ -669,12 +672,19 @@ class ElasticDiffusion:
                 image_log["intermediate_cascade_x0_imgs"] = {
                     "rrg": to_pil(make_grid(dec, nrow=len(dec))[None])[0]}
 
+        t_dec0 = _time.time()
         decode_bs = 1
         imgs = jnp.concatenate([decode_fn(lat[i:i + decode_bs])
                                 for i in range(0, B, decode_bs)])
+        jax.device_get(jnp.ravel(imgs)[0])  # tunnel-safe sync
+        if isinstance(self.last_metrics, dict):
+            self.last_metrics["decode_seconds"] = _time.time() - t_dec0
         if return_arrays:
             return np.asarray(imgs), {"latent": np.asarray(lat), **image_log}
-        arr = np.asarray(imgs)
         if grid:
-            arr = make_grid(arr, nrow=len(arr))[None]
-        return to_pil(arr), image_log
+            arr = make_grid(np.asarray(imgs), nrow=B)[None]
+            return to_pil(arr), image_log
+        # PIL return path: clip/scale/uint8/NHWC on device, fetch 12 MB of
+        # uint8 instead of 50 MB of float32 (the remote tunnel and the slow
+        # host core both scale with bytes moved)
+        return to_pil_device(imgs), image_log

@@ -6,11 +6,33 @@ import numpy as np
 
 
 def to_pil(img_nchw) -> list:
-    """(B, 3, H, W) in [0,1] -> list of PIL images."""
+    """(B, 3, H, W) in [0,1] -> list of PIL images.
+
+    Minimizes full-array passes on the host (this environment's single slow
+    core makes each 50 MB float pass ~1 s at 2048^2): one clip (new array,
+    never mutates the caller's), in-place scale+rint, then uint8 transpose
+    so the PIL copy moves 12 MB instead of 50."""
     from PIL import Image
     arr = np.clip(np.asarray(img_nchw, dtype=np.float32), 0.0, 1.0)
-    arr = (arr * 255).round().astype(np.uint8).transpose(0, 2, 3, 1)
-    return [Image.fromarray(a) for a in arr]
+    arr *= 255.0
+    np.rint(arr, out=arr)
+    arr = arr.astype(np.uint8).transpose(0, 2, 3, 1)
+    return [Image.fromarray(np.ascontiguousarray(a)) for a in arr]
+
+
+def to_pil_device(img_nchw_dev) -> list:
+    """(B, 3, H, W) device array in [0,1] -> list of PIL images.
+
+    TPU-first to_pil: clip/scale/round/uint8/NHWC all run ON DEVICE, so the
+    host fetch moves 12 MB of uint8 instead of 50 MB of float32 (the remote
+    tunnel moves ~2.6 MB/s: 19 s -> ~5 s at 2048^2) and the slow host core
+    does zero float math."""
+    import jax.numpy as jnp
+    from PIL import Image
+    u8 = jnp.transpose(
+        jnp.round(jnp.clip(img_nchw_dev, 0.0, 1.0) * 255.0),
+        (0, 2, 3, 1)).astype(jnp.uint8)
+    return [Image.fromarray(a) for a in np.asarray(u8)]
 
 
 def make_grid(imgs_nchw, nrow: int = 8, padding: int = 2) -> np.ndarray:

@@ -37,7 +37,7 @@ def main():
     from elasticdiffusion_tpu.configs import RuntimeConfig
     from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
     from elasticdiffusion_tpu.utils.cache import enable_compilation_cache
-    from elasticdiffusion_tpu.utils.image import to_pil
+    from elasticdiffusion_tpu.utils.image import to_pil, to_pil_device
     enable_compilation_cache()
 
     steps = int(os.environ.get("ED_E2E_STEPS", "3"))
@@ -92,8 +92,13 @@ def main():
     t0 = time.time()
     pil = to_pil(np.clip(dec_np, 0, 1))
     t_pil = time.time() - t0
+    # production PIL path: uint8 conversion ON DEVICE, 12MB fetch not 50MB
+    t0 = time.time()
+    pil_dev = to_pil_device(jnp.clip(dec, 0, 1))
+    t_pil_device = time.time() - t0
+    assert pil_dev[0].size == pil[0].size
     print(f"[e2e] decode compute={t_dec_compute:.1f}s fetch={t_fetch:.1f}s "
-          f"pil={t_pil:.1f}s", flush=True)
+          f"pil={t_pil:.1f}s pil_device={t_pil_device:.1f}s", flush=True)
 
     result = {
         "preset": f"XL1.0@{H}x{W}", "steps": steps, "resampling_steps": rs,
@@ -105,11 +110,18 @@ def main():
         "denoise_seconds_warm": round(m.get("denoise_seconds", 0.0), 1),
         "denoise_sec_per_step_warm":
             round(m.get("denoise_seconds", 0.0) / steps, 2),
-        "decode_and_overhead_seconds_warm":
-            round(t_gen - m.get("denoise_seconds", 0.0), 1),
+        # warm preamble = text encode + background (shape,t) VAE-encode
+        # tables + init latent, flushed before the denoise timer starts
+        "preamble_seconds_warm": round(m.get("preamble_seconds", 0.0), 1),
+        "decode_seconds_warm": round(m.get("decode_seconds", 0.0), 1),
+        "other_overhead_seconds_warm":
+            round(t_gen - m.get("denoise_seconds", 0.0)
+                  - m.get("preamble_seconds", 0.0)
+                  - m.get("decode_seconds", 0.0), 1),
         "decode_compute_seconds_warm": round(t_dec_compute, 1),
         "device_to_host_fetch_seconds": round(t_fetch, 1),
         "pil_seconds": round(t_pil, 1),
+        "pil_device_seconds": round(t_pil_device, 1),
         "metrics": {k: (round(v, 3) if isinstance(v, float) else v)
                     for k, v in m.items() if k != "phase_seconds"},
         "image": png,
