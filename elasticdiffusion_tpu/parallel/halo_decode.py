@@ -171,19 +171,30 @@ def _stage_b_bands_jit(hidden, dec, cfg, n, halo, vsf):
 #
 # The sequential-band fallback above recomputes halo windows per band and —
 # more importantly — approximates GroupNorm with per-band statistics. The
-# streamed path below is exact at any size: every op keeps its FULL input and
-# output in HBM (the cheap part — one fp32 tensor per level) but computes in
-# row chunks via lax.map, so the expensive part (conv workspace, normalized
-# activations, the x2-upsampled tensor) only ever exists one chunk at a time.
-# GroupNorm statistics are global reductions over the stored full tensor —
-# exact, and a bandwidth-bound single pass. Two details make it equal to
-# monolithic decode bit-for-bit in structure:
-#   * conv edge padding must be zeros AFTER gn+silu, so chunks are cut from
-#     the RAW input with one halo row, activated, then boundary halo rows are
-#     masked to zero (gn(0) != 0, so pad-then-activate would be wrong);
-#   * the x2 nearest upsample is fused into the following conv's chunk read
-#     (slice small rows -> repeat -> conv), so the repeated full-resolution
-#     tensor (4 GB at 2048^2 fp32) is never materialized.
+# streamed path below is exact at any size, and is built to keep the PEAK
+# live set small enough to run next to a resident SD-scale UNet (measured:
+# the naive "store every tensor + jnp.pad copies" variant needs ~8.5 GB of
+# fp32 plus pad copies at 2048^2 and OOMs with the XL bundle loaded):
+#   * only RESNET inputs/outputs are stored whole in HBM; all op workspace
+#     (normalized activations, conv windows) exists one row-chunk at a time
+#     under lax.map;
+#   * inputs are read through `read(start, n)` callbacks. A stored tensor
+#     reads as a clamped dynamic_slice; the x2-upsample+conv between blocks
+#     reads VIRTUALLY — each requested window is recomputed from the small
+#     pre-upsample tensor (slice -> repeat x2 -> conv -> select), so the
+#     upsampled tensor (4.3 GB at 2048^2 x 256ch fp32) never exists. Its
+#     GroupNorm moments come from a streamed accumulation pass; the 2-3
+#     recomputes of the upsample conv cost ~0.2 s each — memory bought with
+#     MXU time;
+#   * conv edge padding: windows are clamped to REAL rows and the conv runs
+#     with h_pad=(1, 1); the output rows are then selected at offset
+#     (row - window_start), so the conv's zero padding is used exactly at
+#     true image boundaries and discarded elsewhere. (Zero-padding the RAW
+#     input would be wrong anyway: monolithic pads AFTER gn+silu, and
+#     gn(0) != 0.)
+#   * the resnet skip (identity or 1x1 conv_shortcut) is computed per output
+#     chunk from the input `read`, fused into the second conv's stream.
+# GroupNorm statistics are global (psum-free single-chip reductions) — exact.
 # ---------------------------------------------------------------------------
 
 
@@ -208,100 +219,129 @@ def _row_chunk(H: int, W: int, C: int, budget: int = 1 << 26) -> int:
     return best
 
 
-def _stream_nsc(x, gn, mean, inv, conv, chunk, skip=None):
-    """GroupNorm(affine) -> silu -> 3x3 conv, streamed over row chunks.
+def _stored_read(x):
+    def read(start, n):
+        return jax.lax.dynamic_slice_in_dim(x, start, n, axis=1)
+    return read
 
-    mean/inv are the EXACT global moments of x. skip, if given, is added to
-    the conv output chunk (the resnet residual), fused so no extra
-    full-size temporary is live."""
-    B, H, W, C = x.shape
+
+def _upsample_read(x_small, conv):
+    """Virtual read over conv3x3(upsample_x2(x_small)) without materializing
+    it: rows [start, start+n) are recomputed from the needed x_small window.
+    `start` must be pre-clamped to [0, 2*Hs - n]."""
+    B, Hs, W, C = x_small.shape
+
+    def read(start, n):
+        ks = min(n // 2 + 2, Hs)
+        s2 = jnp.clip((start - 1) // 2, 0, Hs - ks)
+        sl = jax.lax.dynamic_slice_in_dim(x_small, s2, ks, axis=1)
+        up = jnp.repeat(jnp.repeat(sl, 2, axis=1), 2, axis=2)
+        o = _conv(up, conv["kernel"], conv["bias"], h_pad=(1, 1))
+        # conv zero-pad at the window ends is only selected when the window
+        # is clamped against a true image boundary (start=0 or start+n=2Hs)
+        return jax.lax.dynamic_slice_in_dim(o, start - 2 * s2, n, axis=1)
+
+    return read
+
+
+def _gn_moments_read(read, shape, chunk, eps: float = 1e-6):
+    """Exact global GN moments of a virtual tensor: one streamed
+    accumulation pass over row chunks."""
+    B, H, W, C = shape
+    g = _gn_groups(C)
+
+    def piece(i):
+        w = read(i * chunk, chunk).astype(jnp.float32)
+        w = w.reshape(B, chunk * W, g, C // g)
+        return jnp.sum(w, axis=(1, 3)), jnp.sum(w * w, axis=(1, 3))
+
+    s1, s2 = jax.lax.map(piece, jnp.arange(H // chunk))
+    cnt = float(H * W * (C // g))
+    mean = jnp.sum(s1, axis=0) / cnt
+    var = jnp.sum(s2, axis=0) / cnt - mean * mean
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+def _nsc_streamed(read, shape, dtype, gn, mean, inv, conv, chunk,
+                  skip_read=None):
+    """GroupNorm(affine) -> silu -> 3x3 conv over a virtual input, streamed
+    in row chunks. mean/inv are the EXACT global moments of the input.
+    skip_read(start, n), if given, yields rows of the resnet residual, added
+    to the conv output chunk (no full-size skip temporary)."""
+    B, H, W, C = shape
     g = _gn_groups(C)
     scale = gn["scale"].astype(jnp.float32).reshape(g, C // g)
     bias = gn["bias"].astype(jnp.float32).reshape(g, C // g)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    win = min(chunk + 2, H)
     n = H // chunk
 
     def piece(i):
-        sl = jax.lax.dynamic_slice_in_dim(xp, i * chunk, chunk + 2, axis=1)
-        rows = i * chunk - 1 + jnp.arange(chunk + 2)
-        mask = ((rows >= 0) & (rows < H)).astype(x.dtype)[None, :, None, None]
-        a = sl.astype(jnp.float32).reshape(B, chunk + 2, W, g, C // g)
+        start = jnp.clip(i * chunk - 1, 0, H - win)
+        w = read(start, win)
+        a = w.astype(jnp.float32).reshape(B, win, W, g, C // g)
         a = (a - mean[:, None, None, :, None]) * inv[:, None, None, :, None]
-        a = (a * scale + bias).reshape(B, chunk + 2, W, C).astype(x.dtype)
-        a = jax.nn.silu(a) * mask
-        out = _conv(a, conv["kernel"], conv["bias"], h_pad=(0, 0))
-        if skip is not None:
-            out = out + jax.lax.dynamic_slice_in_dim(
-                skip, i * chunk, chunk, axis=1)
+        a = (a * scale + bias).reshape(B, win, W, C).astype(dtype)
+        out = _conv(jax.nn.silu(a), conv["kernel"], conv["bias"],
+                    h_pad=(1, 1))
+        # h_pad zeros are only kept where the window was clamped against a
+        # true image boundary; elsewhere the halo rows cover them
+        out = jax.lax.dynamic_slice_in_dim(out, i * chunk - start, chunk,
+                                           axis=1)
+        if skip_read is not None:
+            out = out + skip_read(i * chunk, chunk)
         return out
 
     out = jax.lax.map(piece, jnp.arange(n))       # (n, B, chunk, W, Cout)
     return jnp.moveaxis(out, 0, 1).reshape(B, H, W, -1)
 
 
-def _stream_conv1x1(x, conv, chunk):
-    B, H, W, C = x.shape
-    n = H // chunk
-
-    def piece(i):
-        sl = jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis=1)
-        return _conv(sl, conv["kernel"], conv["bias"],
-                     h_pad=(0, 0), w_pad=(0, 0))
-
-    out = jax.lax.map(piece, jnp.arange(n))
-    return jnp.moveaxis(out, 0, 1).reshape(B, H, W, -1)
-
-
-def _stream_upsample_conv(x, conv, chunk):
-    """x2 nearest upsample fused into a streamed 3x3 conv: each OUTPUT chunk
-    slices the small tensor, repeats x2 in-chunk, and convs — the repeated
-    full tensor never exists."""
-    B, H, W, C = x.shape
-    Ho, Wo = 2 * H, 2 * W
-    assert chunk % 2 == 0 and Ho % chunk == 0
-    cs = chunk // 2
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    n = Ho // chunk
-
-    def piece(i):
-        sl = jax.lax.dynamic_slice_in_dim(xp, i * cs, cs + 2, axis=1)
-        up = jnp.repeat(jnp.repeat(sl, 2, axis=1), 2, axis=2)
-        up = up[:, 1:-1]                          # (B, chunk + 2, Wo, C)
-        return _conv(up, conv["kernel"], conv["bias"], h_pad=(0, 0))
-
-    out = jax.lax.map(piece, jnp.arange(n))
-    return jnp.moveaxis(out, 0, 1).reshape(B, Ho, Wo, -1)
-
-
-def _resnet_streamed(x, p, chunk):
-    m1, i1 = _gn_moments(x)
-    h = _stream_nsc(x, p["norm1"]["GroupNorm_0"], m1, i1, p["conv1"], chunk)
+def _resnet_streamed(x_or_read, shape, dtype, p, chunk):
+    """Streamed VAE resnet: input either a stored array or a virtual read.
+    Only h and the output are stored whole; moments of a virtual input come
+    from a streamed pass."""
+    stored = not callable(x_or_read)
+    read = _stored_read(x_or_read) if stored else x_or_read
+    m1, i1 = (_gn_moments(x_or_read) if stored
+              else _gn_moments_read(read, shape, chunk))
+    h = _nsc_streamed(read, shape, dtype, p["norm1"]["GroupNorm_0"], m1, i1,
+                      p["conv1"], chunk)
     m2, i2 = _gn_moments(h)
-    skip = x if "conv_shortcut" not in p \
-        else _stream_conv1x1(x, p["conv_shortcut"], chunk)
-    return _stream_nsc(h, p["norm2"]["GroupNorm_0"], m2, i2, p["conv2"],
-                       chunk, skip=skip)
+    if "conv_shortcut" in p:
+        def skip_read(start, n):
+            return _conv(read(start, n), p["conv_shortcut"]["kernel"],
+                         p["conv_shortcut"]["bias"],
+                         h_pad=(0, 0), w_pad=(0, 0))
+    else:
+        skip_read = read
+    hshape = (shape[0], shape[1], shape[2], h.shape[3])
+    return _nsc_streamed(_stored_read(h), hshape, dtype,
+                         p["norm2"]["GroupNorm_0"], m2, i2, p["conv2"],
+                         chunk, skip_read=skip_read)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _stage_b_streamed_jit(hidden, dec, cfg):
     bo = list(reversed(cfg.block_out_channels))
+    dtype = hidden.dtype
+    B = hidden.shape[0]
     x = hidden
     for i, ch in enumerate(bo):
-        chunk = _row_chunk(x.shape[1], x.shape[2], max(x.shape[3], ch))
-        for j in range(cfg.layers_per_block + 1):
-            x = _resnet_streamed(x, dec[f"up_{i}_{j}"], chunk)
-        if i < len(bo) - 1:
-            up_chunk = _row_chunk(2 * x.shape[1], 2 * x.shape[2], ch)
-            if up_chunk % 2:
-                up_chunk = 2 * up_chunk if (2 * x.shape[1]) % (2 * up_chunk) \
-                    == 0 else 2
-            x = _stream_upsample_conv(x, dec[f"up_{i}_upsample"]["conv"],
-                                      up_chunk)
+        if i == 0:
+            src, H, Wc, Cin = x, x.shape[1], x.shape[2], x.shape[3]
+        else:
+            # consume the upsample of the previous block VIRTUALLY
+            H, Wc, Cin = 2 * x.shape[1], 2 * x.shape[2], x.shape[3]
+            src = _upsample_read(x, dec[f"up_{i - 1}_upsample"]["conv"])
+        chunk = _row_chunk(H, Wc, max(Cin, ch))
+        x = _resnet_streamed(src, (B, H, Wc, Cin), dtype,
+                             dec[f"up_{i}_0"], chunk)
+        for j in range(1, cfg.layers_per_block + 1):
+            x = _resnet_streamed(x, x.shape, dtype, dec[f"up_{i}_{j}"], chunk)
     m, inv = _gn_moments(x)
     chunk = _row_chunk(x.shape[1], x.shape[2], x.shape[3])
-    return _stream_nsc(x, dec["conv_norm_out"]["GroupNorm_0"], m, inv,
-                       dec["conv_out"], chunk)
+    return _nsc_streamed(_stored_read(x), x.shape, dtype,
+                         dec["conv_norm_out"]["GroupNorm_0"], m, inv,
+                         dec["conv_out"], chunk)
 
 
 def halo_decode(bundle, latents_nchw, mesh: Optional[Mesh] = None,

@@ -48,16 +48,18 @@ def main():
     lat = jnp.asarray(np.random.default_rng(0).standard_normal(
         (1, 4, H // 8, W // 8), np.float32))
     from elasticdiffusion_tpu.parallel.halo_decode import halo_decode
-    for nb in ([bands] if bands else [None]):
-        t0 = time.time()
-        img = halo_decode(pipe.bundle, lat, num_bands=nb)
-        jax.device_get(jnp.ravel(img)[0])
-        print(f"[decode] bands={nb} cold={time.time()-t0:.1f}s", flush=True)
-        stats(f"after decode bands={nb}")
-        t0 = time.time()
-        img = halo_decode(pipe.bundle, lat, num_bands=nb)
-        jax.device_get(jnp.ravel(img)[0])
-        print(f"[decode] bands={nb} warm={time.time()-t0:.1f}s", flush=True)
+    streamed = os.environ.get("ED_PROBE_STREAMED") == "1"
+    kw = dict(streamed=True) if streamed else dict(num_bands=bands or None)
+    tag = "streamed" if streamed else f"bands={bands or None}"
+    t0 = time.time()
+    img = halo_decode(pipe.bundle, lat, **kw)
+    jax.device_get(jnp.ravel(img)[0])
+    print(f"[decode] {tag} cold={time.time()-t0:.1f}s", flush=True)
+    stats(f"after decode {tag}")
+    t0 = time.time()
+    img = halo_decode(pipe.bundle, lat, **kw)
+    jax.device_get(jnp.ravel(img)[0])
+    print(f"[decode] {tag} warm={time.time()-t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":

@@ -114,11 +114,23 @@ def main():
             return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0, 1)
 
         img_b = timed("big_banded_halo", banded, results)
+
+        def streamed():
+            img = halo_decode(pipe.bundle,
+                              lat_b / pipe.bundle.config.vae.scaling_factor,
+                              streamed=True)
+            return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0, 1)
+
+        img_s = timed("big_streamed_exact", streamed, results)
         results["big_resolution"] = big
         results["big_tiled_mean_abs_err"] = float(
             np.abs(tiled_b - mono_b).mean())
         results["big_banded_halo_mean_abs_err"] = float(
             np.abs(img_b - mono_b).mean())
+        results["big_streamed_exact_mean_abs_err"] = float(
+            np.abs(img_s - mono_b).mean())
+        results["big_streamed_exact_max_abs_err"] = float(
+            np.abs(img_s - mono_b).max())
         to_pil(mono_b)[0].save("artifacts/seam_big_monolithic.png")
         to_pil(img_b)[0].save("artifacts/seam_big_banded_halo.png")
 
