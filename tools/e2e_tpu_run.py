@@ -17,7 +17,11 @@ into decode-compute vs 25MB device->host fetch vs PIL conversion.
 Env: ED_E2E_STEPS (default 3), ED_E2E_RS (default 7), ED_E2E_TILED (0/1),
 ED_E2E_PROBES (0/1), ED_E2E_H/ED_E2E_W (default 1024x2048 — set 2048/2048
 rs=10 tiled=1 for the reference CLI flagship default,
-/root/reference/elastic_diffusion.py:1140-1156), ED_E2E_OUT (json name).
+/root/reference/elastic_diffusion.py:1140-1156), ED_E2E_OUT (json name),
+ED_E2E_CONTROLNET (0/1 — BASELINE config 5: the
+elastic_diffusion_w_controlnet path with a canny condition, here computed
+by the native canny preprocessor on a synthetic image since the env has no
+photo assets).
 """
 
 import json
@@ -46,15 +50,37 @@ def main():
     probes = os.environ.get("ED_E2E_PROBES", "0") == "1"
     H = int(os.environ.get("ED_E2E_H", "1024"))
     W = int(os.environ.get("ED_E2E_W", "2048"))
+    controlnet = os.environ.get("ED_E2E_CONTROLNET", "0") == "1"
     out_json = os.environ.get("ED_E2E_OUT", "E2E_TPU.json")
-    png = f"artifacts/e2e_sdxl_{H}x{W}_randweights.png"
+    tag = "sdxl_cn" if controlnet else "sdxl"
+    png = f"artifacts/e2e_{tag}_{H}x{W}_randweights.png"
 
     t0 = time.time()
     runtime = RuntimeConfig(param_dtype=jnp.bfloat16,
                             compute_dtype=jnp.bfloat16, use_pallas="auto")
-    pipe = ElasticDiffusion(sd_version="XL1.0", runtime=runtime)
+    pipe = ElasticDiffusion(
+        sd_version="XL1.0", runtime=runtime,
+        controlnet_model="canny" if controlnet else None)
     t_init = time.time() - t0
     print(f"[e2e] bundle ready ({t_init:.0f}s)", flush=True)
+
+    cond_low = None
+    if controlnet:
+        # reference contract: the condition enters at downsample_size * 8
+        # (cli_controlnet.py / w_controlnet.py:1390-1393); synthesize a
+        # structured image and run the NATIVE canny preprocessor on it
+        from PIL import Image
+        from elasticdiffusion_tpu.apps.preprocessors import (
+            prepare_image, process_condition_image)
+        dh, dw = pipe.get_downsample_size(H, W)
+        vsf = pipe.vae_scale_factor
+        yy, xx = np.mgrid[0:dh * vsf, 0:dw * vsf].astype(np.float32)
+        synth = np.stack([
+            127 + 120 * np.sin(xx / 17.0) * np.cos(yy / 23.0),
+            255 * ((xx // 64 + yy // 64) % 2),
+            np.clip(xx + yy, 0, 255)], axis=-1).astype(np.uint8)
+        cond = process_condition_image(Image.fromarray(synth), "canny")
+        cond_low = prepare_image(cond, dw * vsf, dh * vsf, batch_size=1)
 
     def gen():
         t0 = time.time()
@@ -63,7 +89,8 @@ def main():
             height=H, width=W, num_inference_steps=steps,
             guidance_scale=10.0, resampling_steps=rs, new_p=0.3,
             rrg_init_weight=2000, rrg_stop_t=0.4, repaint_sampling=True,
-            tiled_decoder=tiled, return_arrays=True)
+            tiled_decoder=tiled, return_arrays=True,
+            condition_image=cond_low)
         return arr, info, time.time() - t0, dict(pipe.last_metrics)
 
     # run twice: the first pays one-time compiles (the persistent cache does
@@ -102,7 +129,7 @@ def main():
 
     result = {
         "preset": f"XL1.0@{H}x{W}", "steps": steps, "resampling_steps": rs,
-        "repaint": True, "tiled_decoder": tiled,
+        "repaint": True, "tiled_decoder": tiled, "controlnet": controlnet,
         "backend": jax.default_backend(),
         "init_seconds": round(t_init, 1),
         "generate_seconds_cold_incl_compile": round(t_cold, 1),
