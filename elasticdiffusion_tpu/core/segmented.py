@@ -123,11 +123,15 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
 
     # view_batch_size as the segmented path's memory knob (the reference's
     # view-chunk loop, /root/reference/elastic_diffusion.py:830-831): when it
-    # engages (same gate as the fused path: 0 < vbs < V), the direction rows
-    # run as one batch and the view rows run in host-looped chunks of vbs*B,
-    # capping the peak UNet batch. Numerically identical to the whole-batch
-    # dispatch (the UNet has no cross-sample coupling); single-chip fallback
-    # — chunks are not re-aligned to the mesh.
+    # engages (same gate as the fused path: 0 < vbs < V), the WHOLE merged
+    # batch — direction rows included — runs in host-looped chunks of vbs*B
+    # rows, capping the peak UNet(+ControlNet) batch. (Direction rows used
+    # to run whole, which still OOMed SDXL+ControlNet at 2048^2 where
+    # 2*(rs+1)*B = 22 rows; all rows pad to the same native shape so one
+    # uniform chunk grid is both smaller-peak and one compiled program.)
+    # Numerically identical to the whole-batch dispatch (the UNet has no
+    # cross-sample coupling); single-chip fallback — chunks are not
+    # re-aligned to the mesh.
     _vbs = pipe.runtime.view_batch_size if pipe.runtime.view_batch_size \
         else pipe.view_batch_size
     chunk_views = _vbs if (_vbs and _vbs < V) else 0
@@ -138,23 +142,22 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
     def _unet_chunked(x_in, t, ctx, ate, tid, cn, nd, n_view_rows, BB):
         if not chunk_views:
             return _unet(x_in, t, ctx, ate, tid, cn)
-        outs = [_unet(x_in[:nd], t, ctx[:nd], _sel(ate, 0, nd),
-                      _sel(tid, 0, nd), _sel(cn, 0, nd))]
         cs = chunk_views * BB
         end = nd + n_view_rows
-        i = nd
+        outs = []
+        i = 0
         while i < end:
             j = i + cs
             if j <= end:
                 args = (x_in[i:j], ctx[i:j], _sel(ate, i, j),
                         _sel(tid, i, j), _sel(cn, i, j))
             else:
-                # ragged tail: pad with leading view rows to keep the chunk
-                # shape compile-cached; post() never reads past n_view_rows
+                # ragged tail: pad with leading rows to keep the chunk shape
+                # compile-cached; post() never reads past nd + n_view_rows
                 p = j - end
                 def _padc(a):
                     return None if a is None else jnp.concatenate(
-                        [a[i:end], a[nd:nd + p]])
+                        [a[i:end], a[:p]])
                 args = tuple(_padc(a) for a in (x_in, ctx, ate, tid, cn))
             outs.append(_unet(args[0], t, args[1], args[2], args[3], args[4]))
             i = j

@@ -153,6 +153,37 @@ def test_segmented_chunked_matches_whole():
     np.testing.assert_allclose(c, a, atol=5e-5, rtol=1e-4)
 
 
+def test_segmented_chunked_controlnet_matches_whole():
+    """Chunking + ControlNet together — the exact combination that OOMed the
+    SDXL flagship on a single chip (direction rows used to run as one whole
+    batch even when the knob was set). The uniform chunker must slice the
+    per-row ControlNet condition alongside latents/context and stay
+    numerically identical to the whole-batch dispatch."""
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+    b = make_toy_bundle(xl=True, controlnet="canny")
+    cond = np.random.RandomState(1).rand(1, 3, 32, 48).astype(np.float32)
+    kw = dict(prompts="a cat", height=32, width=48, num_inference_steps=2,
+              guidance_scale=7.5, resampling_steps=2, new_p=0.3,
+              rrg_init_weight=500, rrg_stop_t=0.0, repaint_sampling=True,
+              condition_image=cond, controlnet_conditioning_scale=0.5,
+              return_arrays=True)
+    rt = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                       use_pallas="off", segmented_step="on")
+
+    whole = ElasticDiffusion(bundle=b, runtime=rt)
+    whole.seed_everything(7)
+    a, _ = whole.generate_image(**kw)
+
+    # vbs=5 over a merged batch of 2*3 + V rows: chunk boundaries cross the
+    # direction/view frontier and leave a ragged padded tail
+    chunked = ElasticDiffusion(bundle=b, runtime=rt, view_batch_size=5)
+    chunked.seed_everything(7)
+    c, _ = chunked.generate_image(**kw)
+
+    np.testing.assert_allclose(c, a, atol=5e-5, rtol=1e-4)
+
+
 def test_segmented_scripted_matches_fused():
     """Scripted-noise injection (the parity-harness path) must agree
     between segmented and fused execution."""

@@ -51,6 +51,10 @@ def main():
     H = int(os.environ.get("ED_E2E_H", "1024"))
     W = int(os.environ.get("ED_E2E_W", "2048"))
     controlnet = os.environ.get("ED_E2E_CONTROLNET", "0") == "1"
+    # memory knob (reference view_batch_size, elastic_diffusion.py:830-831):
+    # chunks the merged estimate batch — needed when ControlNet is resident
+    # next to the SDXL UNet (whole batch-38 OOMs a single v5e chip)
+    vbs = int(os.environ.get("ED_E2E_VBS", "0"))
     out_json = os.environ.get("ED_E2E_OUT", "E2E_TPU.json")
     tag = "sdxl_cn" if controlnet else "sdxl"
     png = f"artifacts/e2e_{tag}_{H}x{W}_randweights.png"
@@ -61,6 +65,8 @@ def main():
     pipe = ElasticDiffusion(
         sd_version="XL1.0", runtime=runtime,
         controlnet_model="canny" if controlnet else None)
+    if vbs:
+        pipe.view_batch_size = vbs  # app-style live mutation (app_gradio.py:36)
     t_init = time.time() - t0
     print(f"[e2e] bundle ready ({t_init:.0f}s)", flush=True)
 
@@ -130,6 +136,7 @@ def main():
     result = {
         "preset": f"XL1.0@{H}x{W}", "steps": steps, "resampling_steps": rs,
         "repaint": True, "tiled_decoder": tiled, "controlnet": controlnet,
+        "view_batch_size": vbs,
         "backend": jax.default_backend(),
         "init_seconds": round(t_init, 1),
         "generate_seconds_cold_incl_compile": round(t_cold, 1),
