@@ -48,7 +48,13 @@ def _cost_model(rs: int, V: int, repaint: bool = True):
 
 def measure_decode(pipe, height, width):
     """Warm decode seconds at the preset resolution (the tracked metric is
-    sec/IMAGE — r2's bench excluded decode; VERDICT r2 weak #3)."""
+    sec/IMAGE — r2's bench excluded decode; VERDICT r2 weak #3).
+
+    Uses the PRODUCTION decode path (pipe.halo_decode: predictive
+    monolithic-vs-streamed choice), not raw monolithic decode_latents —
+    above the single-chip memory budget monolithic would OOM, and on this
+    backend a failed program's allocations are never reclaimed, which
+    would poison the rest of the bench process."""
     import jax
     import jax.numpy as jnp
     vsf = pipe.vae_scale_factor
@@ -59,10 +65,10 @@ def measure_decode(pipe, height, width):
         return float(a[0, 0, 0, 0])
 
     t0 = time.time()
-    sync(pipe.decode_latents(lat))
+    sync(pipe.halo_decode(lat))
     cold = time.time() - t0
     t0 = time.time()
-    sync(pipe.decode_latents(lat))
+    sync(pipe.halo_decode(lat))
     warm = time.time() - t0
     _log(f"decode cold={cold:.1f}s warm={warm:.1f}s")
     return warm

@@ -100,26 +100,35 @@ def make_background_table(bundle, timesteps: np.ndarray, spec: PadSpec,
     a_dev = jnp.asarray(ab[:, 0])
     b_dev = jnp.asarray(ab[:, 1])
 
-    for side, (ph, pw) in spec.side_shapes().items():
-        sid = string_to_number(f"{side}_{ph}_{pw}")
-
-        @jax.jit
-        def build(key, ts, a, b, _sid=sid, _ph=ph, _pw=pw):
+    # One jitted builder cached ON THE BUNDLE, shape-specialized via static
+    # (ph, pw) but with the side-id as a DEVICE OPERAND: symmetric paddings
+    # (left/right, top/bottom pairs share shapes) then share one compiled
+    # program per shape instead of compiling one per side on the remote
+    # XLA service, and the program survives across generate_image calls.
+    build = getattr(bundle, "_bg_table_build", None)
+    if build is None:
+        def _build(key, ts, a, b, sid, *, ph, pw, bs):
             def one(args):
                 t, a1, b1 = args
-                k = jax.random.fold_in(jax.random.fold_in(key, _sid), t)
+                k = jax.random.fold_in(jax.random.fold_in(key, sid), t)
                 k_color, k_enc, k_noise = jax.random.split(k, 3)
                 color = jax.random.uniform(k_color, (1, 3, 1, 1))
-                color = jnp.broadcast_to(color, (1, 3, _ph * vsf, _pw * vsf))
-                enc_noise = jax.random.normal(k_enc, (1, lat_ch, _ph, _pw))
+                color = jnp.broadcast_to(color, (1, 3, ph * vsf, pw * vsf))
+                enc_noise = jax.random.normal(k_enc, (1, lat_ch, ph, pw))
                 # torch.rand in [0,1] -> VAE input in [-1,1]
                 bg = bundle.vae_encode_sample(2.0 * color - 1.0,
                                               enc_noise) * scaling
                 noise = jax.random.normal(k_noise, bg.shape)
                 return (a1 * bg + b1 * noise)[0]
-            return jax.lax.map(one, (ts, a, b),
-                               batch_size=min(8, len(ts_i)))
-        tables[side] = build(base_key, ts_dev, a_dev, b_dev)  # (T, C, ph, pw)
+            return jax.lax.map(one, (ts, a, b), batch_size=bs)
+        build = jax.jit(_build, static_argnames=("ph", "pw", "bs"))
+        bundle._bg_table_build = build
+
+    for side, (ph, pw) in spec.side_shapes().items():
+        sid = string_to_number(f"{side}_{ph}_{pw}")
+        tables[side] = build(base_key, ts_dev, a_dev, b_dev, jnp.uint32(sid),
+                             ph=ph, pw=pw,
+                             bs=min(8, len(ts_i)))  # (T, C, ph, pw)
     return tables
 
 

@@ -461,9 +461,13 @@ class ElasticDiffusion:
             # B is part of the key: update_conditioning re-aims a cached
             # builder only at SAME-batch tensors (glue programs are
             # shape-specialized; ADVICE r2)
+            # effective view_batch_size is baked into the builder's chunking
+            # (segmented.py), so a live mutation (app_gradio.py:36 pattern)
+            # must miss the cache rather than silently keep the old chunking
+            vbs_eff = self.runtime.view_batch_size or self.view_batch_size
             ck = ("seg", height, width, guidance_scale, resampling_steps,
                   new_p, self.view_config, scripted, do_repaint,
-                  cn_cond is None, B)
+                  cn_cond is None, B, vbs_eff)
             cached = self._step_cache.get(ck)
             if cached is None:
                 mk = lambda rp: build_segmented_step(
@@ -581,7 +585,9 @@ class ElasticDiffusion:
         coeffs_tbl = jnp.asarray(np.asarray(coeff_table))
         rrg_tbl = jnp.asarray(np.asarray(rrg_w, np.float32))
         undo_s1mb_tbl = undo_sb_tbl = None
-        if do_repaint and not use_fused:
+        # T == 1: the only step is the last step, which never repaints
+        # (/root/reference/elastic_diffusion.py:1038: `i < len(...) - 1`)
+        if do_repaint and not use_fused and T > 1:
             undo = [self.scheduler.undo_step_coeffs(st, int(st.timesteps[i + 1]))
                     for i in range(T - 1)]
             undo_s1mb_tbl = jnp.asarray(np.stack([np.asarray(u[0]) for u in undo]))

@@ -209,9 +209,11 @@ def _gn_moments(x, eps: float = 1e-6):
     return mean, jax.lax.rsqrt(var + eps)
 
 
-def _row_chunk(H: int, W: int, C: int, budget: int = 1 << 26) -> int:
-    """Largest divisor of H whose (chunk, W, C) fp32 slab fits the budget."""
-    target = max(1, budget // (W * C * 4))
+def _row_chunk(H: int, W: int, C: int, B: int = 1,
+               budget: int = 1 << 26) -> int:
+    """Largest divisor of H whose (B, chunk, W, C) fp32 slab fits the
+    budget."""
+    target = max(1, budget // (B * W * C * 4))
     best = 1
     for d in range(1, H + 1):
         if H % d == 0 and d <= target:
@@ -332,13 +334,13 @@ def _stage_b_streamed_jit(hidden, dec, cfg):
             # consume the upsample of the previous block VIRTUALLY
             H, Wc, Cin = 2 * x.shape[1], 2 * x.shape[2], x.shape[3]
             src = _upsample_read(x, dec[f"up_{i - 1}_upsample"]["conv"])
-        chunk = _row_chunk(H, Wc, max(Cin, ch))
+        chunk = _row_chunk(H, Wc, max(Cin, ch), B)
         x = _resnet_streamed(src, (B, H, Wc, Cin), dtype,
                              dec[f"up_{i}_0"], chunk)
         for j in range(1, cfg.layers_per_block + 1):
             x = _resnet_streamed(x, x.shape, dtype, dec[f"up_{i}_{j}"], chunk)
     m, inv = _gn_moments(x)
-    chunk = _row_chunk(x.shape[1], x.shape[2], x.shape[3])
+    chunk = _row_chunk(x.shape[1], x.shape[2], x.shape[3], x.shape[0])
     return _nsc_streamed(_stored_read(x), x.shape, dtype,
                          dec["conv_norm_out"]["GroupNorm_0"], m, inv,
                          dec["conv_out"], chunk)
@@ -399,7 +401,8 @@ def halo_decode(bundle, latents_nchw, mesh: Optional[Mesh] = None,
         # decode measured to fit WITH the SD-scale UNet resident; above that,
         # use the EXACT streamed stage B (full tensors in HBM, chunked
         # compute — see _stage_b_streamed_jit).
-        out_px = (H * vsf) * (W * vsf)
+        # budget calibrated at B=1; the working set scales with batch
+        out_px = latents_nchw.shape[0] * (H * vsf) * (W * vsf)
         MAX_PX = 2.2e6
         if streamed or (streamed is None and out_px > MAX_PX):
             out = _stage_b_streamed_jit(hidden, dec, cfg)

@@ -30,6 +30,29 @@ def test_generate_image_native(pipe):
     assert m["unet_view_forwards"] == 2 * 3
 
 
+def test_single_step_with_repaint_enabled(pipe):
+    """num_inference_steps=1 with repaint_sampling=True must not crash: the
+    only step is the last step, which never repaints (the reference gates
+    repaint on `i < len(timesteps) - 1`, elastic_diffusion.py:1038), so the
+    undo-coefficient table is empty. Regression: np.stack([]) ValueError.
+    Forced onto the host-loop segmented path — the fused lax.scan path
+    builds no host-side undo table."""
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    p = ElasticDiffusion(bundle=make_toy_bundle(),
+                         runtime=RuntimeConfig(param_dtype=jnp.float32,
+                                               compute_dtype=jnp.float32,
+                                               use_pallas="off",
+                                               segmented_step="on"))
+    p.seed_everything(0)
+    imgs, _ = p.generate_image(
+        "a cat", height=16, width=24, num_inference_steps=1,
+        guidance_scale=7.5, resampling_steps=1, rrg_init_weight=0,
+        repaint_sampling=True)
+    assert imgs[0].size == (24, 16)
+    assert p.last_metrics["unet_view_forwards"] == 2 * 2 + \
+        p.last_metrics["views"]  # no repaint forwards on the last step
+
+
 def test_generate_image_elastic(pipe):
     """2x-size with views + resampling + repaint + RRG (config 2 analog)."""
     pipe.seed_everything(0)

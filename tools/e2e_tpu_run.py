@@ -18,10 +18,11 @@ Env: ED_E2E_STEPS (default 3), ED_E2E_RS (default 7), ED_E2E_TILED (0/1),
 ED_E2E_PROBES (0/1), ED_E2E_H/ED_E2E_W (default 1024x2048 — set 2048/2048
 rs=10 tiled=1 for the reference CLI flagship default,
 /root/reference/elastic_diffusion.py:1140-1156), ED_E2E_OUT (json name),
-ED_E2E_CONTROLNET (0/1 — BASELINE config 5: the
-elastic_diffusion_w_controlnet path with a canny condition, here computed
-by the native canny preprocessor on a synthetic image since the env has no
-photo assets).
+ED_E2E_SD (sd_version, default XL1.0 — set 2.1, H=W=1024 for BASELINE
+config 3), ED_E2E_VBS (memory knob), ED_E2E_CONTROLNET (0/1 — BASELINE
+config 5: the elastic_diffusion_w_controlnet path with a canny condition,
+here computed by the native canny preprocessor on a synthetic image since
+the env has no photo assets).
 """
 
 import json
@@ -50,20 +51,23 @@ def main():
     probes = os.environ.get("ED_E2E_PROBES", "0") == "1"
     H = int(os.environ.get("ED_E2E_H", "1024"))
     W = int(os.environ.get("ED_E2E_W", "2048"))
+    sd_version = os.environ.get("ED_E2E_SD", "XL1.0")
     controlnet = os.environ.get("ED_E2E_CONTROLNET", "0") == "1"
     # memory knob (reference view_batch_size, elastic_diffusion.py:830-831):
     # chunks the merged estimate batch — needed when ControlNet is resident
     # next to the SDXL UNet (whole batch-38 OOMs a single v5e chip)
     vbs = int(os.environ.get("ED_E2E_VBS", "0"))
     out_json = os.environ.get("ED_E2E_OUT", "E2E_TPU.json")
-    tag = "sdxl_cn" if controlnet else "sdxl"
+    tag = ("sdxl" if sd_version == "XL1.0"
+           else "sd" + sd_version.replace(".", ""))
+    tag += "_cn" if controlnet else ""
     png = f"artifacts/e2e_{tag}_{H}x{W}_randweights.png"
 
     t0 = time.time()
     runtime = RuntimeConfig(param_dtype=jnp.bfloat16,
                             compute_dtype=jnp.bfloat16, use_pallas="auto")
     pipe = ElasticDiffusion(
-        sd_version="XL1.0", runtime=runtime,
+        sd_version=sd_version, runtime=runtime,
         controlnet_model="canny" if controlnet else None)
     if vbs:
         pipe.view_batch_size = vbs  # app-style live mutation (app_gradio.py:36)
@@ -134,7 +138,8 @@ def main():
           f"pil={t_pil:.1f}s pil_device={t_pil_device:.1f}s", flush=True)
 
     result = {
-        "preset": f"XL1.0@{H}x{W}", "steps": steps, "resampling_steps": rs,
+        "preset": f"{sd_version}@{H}x{W}", "steps": steps,
+        "resampling_steps": rs,
         "repaint": True, "tiled_decoder": tiled, "controlnet": controlnet,
         "view_batch_size": vbs,
         "backend": jax.default_backend(),

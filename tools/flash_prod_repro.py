@@ -7,7 +7,7 @@ context — q/k/v produced by linear projections of a (B, S, C) activation,
 all inside one jit — and tries candidate fixes one by one.
 
 Usage: python tools/flash_prod_repro.py [variant...]
-variants: prod, barrier, copy, fourd
+variants: prod, barrier, copy, plain
 """
 
 import functools
