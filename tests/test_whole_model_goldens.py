@@ -38,8 +38,11 @@ from test_torch_goldens import (
     TorchAttention, TorchResnet, TorchTransformer2D, TorchVAEAttn,
 )
 
-from elasticdiffusion_tpu.configs import UNetConfig, VAEConfig
-from elasticdiffusion_tpu.models.convert import convert_unet, convert_vae
+from elasticdiffusion_tpu.configs import ControlNetConfig, UNetConfig, VAEConfig
+from elasticdiffusion_tpu.models.controlnet import ControlNet
+from elasticdiffusion_tpu.models.convert import (
+    convert_controlnet, convert_unet, convert_vae,
+)
 from elasticdiffusion_tpu.models.unet import UNet2DCondition
 from elasticdiffusion_tpu.models.vae import AutoencoderKL
 
@@ -339,6 +342,187 @@ def test_sdxl_topology_unet_vs_torch():
         projection_class_embeddings_input_dim=64 + 6 * 32,
         pooled_projection_dim=64)
     _run_unet_golden(cfg, lat_hw=16, seed=11, atol=1e-4)
+
+
+class TorchControlNet(tnn.Module):
+    """Full ControlNetModel mirror (diffusers state_dict naming): the UNet's
+    down+mid twin plus controlnet_cond_embedding and per-residual zero convs
+    (randomly initialized here so the golden exercises real values; diffusers
+    zero-inits them at train start, but checkpoints carry trained weights).
+    Contract: /root/reference/elastic_diffusion_w_controlnet.py:434-524."""
+
+    def __init__(self, cfg: ControlNetConfig):
+        super().__init__()
+        ucfg = cfg.unet
+        self.cfg = cfg
+        bo = ucfg.block_out_channels
+        n = len(bo)
+        temb = bo[0] * 4
+        self.conv_in = tnn.Conv2d(ucfg.in_channels, bo[0], 3, padding=1)
+        self.time_embedding = TorchTimestepEmbedding(bo[0], temb)
+        if ucfg.addition_embed_type == "text_time":
+            self.add_embedding = TorchTimestepEmbedding(
+                ucfg.projection_class_embeddings_input_dim, temb)
+
+        ce = _Block()
+        cech = cfg.conditioning_embedding_out_channels
+        k = int(math.log2(cfg.cond_downsample_factor))
+        ch = cech[-(k + 1):]
+        ce.conv_in = tnn.Conv2d(cfg.conditioning_channels, ch[0], 3, padding=1)
+        ce.blocks = tnn.ModuleList()
+        for i in range(len(ch) - 1):
+            ce.blocks.append(tnn.Conv2d(ch[i], ch[i], 3, padding=1))
+            ce.blocks.append(tnn.Conv2d(ch[i], ch[i + 1], 3, stride=2,
+                                        padding=1))
+        ce.conv_out = tnn.Conv2d(ch[-1], bo[0], 3, padding=1)
+        self.controlnet_cond_embedding = ce
+
+        def t2d(chn, i):
+            h = ucfg.heads_for_block(i)
+            return TorchTransformer2D(chn, h, chn // h,
+                                      ucfg.cross_attention_dim,
+                                      ucfg.transformer_layers_per_block[i],
+                                      ucfg.use_linear_projection)
+
+        self.down_blocks = tnn.ModuleList()
+        self.controlnet_down_blocks = tnn.ModuleList(
+            [tnn.Conv2d(bo[0], bo[0], 1)])
+        cin = bo[0]
+        for i in range(n):
+            blk = _Block()
+            blk.resnets = tnn.ModuleList()
+            if ucfg.down_block_has_attn[i]:
+                blk.attentions = tnn.ModuleList()
+            for j in range(ucfg.layers_per_block):
+                blk.resnets.append(TorchResnet(cin, bo[i], temb))
+                if ucfg.down_block_has_attn[i]:
+                    blk.attentions.append(t2d(bo[i], i))
+                cin = bo[i]
+                self.controlnet_down_blocks.append(tnn.Conv2d(cin, cin, 1))
+            if i < n - 1:
+                blk.downsamplers = tnn.ModuleList([TorchDownsample(bo[i])])
+                self.controlnet_down_blocks.append(tnn.Conv2d(bo[i], bo[i], 1))
+            self.down_blocks.append(blk)
+
+        self.mid_block = _Block()
+        self.mid_block.resnets = tnn.ModuleList(
+            [TorchResnet(bo[-1], bo[-1], temb),
+             TorchResnet(bo[-1], bo[-1], temb)])
+        self.mid_block.attentions = tnn.ModuleList([t2d(bo[-1], n - 1)])
+        self.controlnet_mid_block = tnn.Conv2d(bo[-1], bo[-1], 1)
+
+    def forward(self, x, t, ctx, cond, scale, added_text=None,
+                added_tid=None):
+        ucfg = self.cfg.unet
+        B = x.shape[0]
+        t_emb = torch_timestep_embedding(
+            t.expand(B) if t.ndim == 0 else t, ucfg.block_out_channels[0],
+            ucfg.flip_sin_to_cos, ucfg.freq_shift)
+        emb = self.time_embedding(t_emb)
+        if ucfg.addition_embed_type == "text_time":
+            tid_emb = torch_timestep_embedding(
+                added_tid.reshape(-1), ucfg.addition_time_embed_dim,
+                ucfg.flip_sin_to_cos, ucfg.freq_shift).reshape(B, -1)
+            emb = emb + self.add_embedding(
+                torch.cat([added_text, tid_emb], dim=-1))
+
+        ce = self.controlnet_cond_embedding
+        c = F.silu(ce.conv_in(cond))
+        for blk in ce.blocks:
+            c = F.silu(blk(c))
+        h = self.conv_in(x) + ce.conv_out(c)
+
+        res = [h]
+        for blk in self.down_blocks:
+            for j, r in enumerate(blk.resnets):
+                h = r(h, emb)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx)
+                res.append(h)
+            if hasattr(blk, "downsamplers"):
+                h = blk.downsamplers[0](h)
+                res.append(h)
+
+        h = self.mid_block.resnets[0](h, emb)
+        h = self.mid_block.attentions[0](h, ctx)
+        h = self.mid_block.resnets[1](h, emb)
+
+        down = [scale * zc(r)
+                for zc, r in zip(self.controlnet_down_blocks, res)]
+        mid = scale * self.controlnet_mid_block(h)
+        return down, mid
+
+
+def _run_controlnet_golden(cfg: ControlNetConfig, lat_hw, seed, atol):
+    ucfg = cfg.unet
+    torch.manual_seed(seed)
+    ref = TorchControlNet(cfg).eval()
+    B = 1
+    x = torch.randn(B, ucfg.in_channels, lat_hw, lat_hw)
+    t = torch.tensor(501.0)
+    ctx = torch.randn(B, 77, ucfg.cross_attention_dim)
+    cond = torch.rand(B, cfg.conditioning_channels,
+                      lat_hw * cfg.cond_downsample_factor,
+                      lat_hw * cfg.cond_downsample_factor)
+    scale = 0.7
+    added_text = added_tid = None
+    kwargs = {}
+    if ucfg.addition_embed_type == "text_time":
+        pooled = ucfg.projection_class_embeddings_input_dim \
+            - 6 * ucfg.addition_time_embed_dim
+        added_text = torch.randn(B, pooled)
+        added_tid = torch.tensor([[4. * 8 * lat_hw, 4. * 8 * lat_hw, 0., 0.,
+                                   4. * 8 * lat_hw, 4. * 8 * lat_hw]])
+        kwargs = {"added_text_embeds": jnp.asarray(added_text.numpy()),
+                  "added_time_ids": jnp.asarray(added_tid.numpy())}
+    with torch.no_grad():
+        want_down, want_mid = ref(x, t, ctx, cond, scale, added_text,
+                                  added_tid)
+
+    params = convert_controlnet(_np_sd(ref), ucfg)
+    got_down, got_mid = ControlNet(cfg, use_pallas="off").apply(
+        {"params": params}, jnp.asarray(x.numpy()), jnp.float32(501.0),
+        jnp.asarray(ctx.numpy()), jnp.asarray(cond.numpy()),
+        conditioning_scale=scale, **kwargs)
+
+    assert len(got_down) == len(want_down)
+    for g, w in zip(got_down, want_down):  # ours NHWC, torch NCHW
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(g), (0, 3, 1, 2)), w.numpy(),
+            atol=atol, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got_mid), (0, 3, 1, 2)), want_mid.numpy(),
+        atol=atol, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_full_sd15_controlnet_vs_torch():
+    """The COMPLETE SD1.5 ControlNet architecture (down+mid of 320/640/1280/
+    1280 + cond embedding + 13 zero-convs), whole-model, through
+    convert_controlnet (ref loads lllyasviel/sd-controlnet-* at
+    /root/reference/elastic_diffusion_w_controlnet.py:178-191)."""
+    _run_controlnet_golden(ControlNetConfig(), lat_hw=16, seed=13, atol=3e-4)
+
+
+def test_sdxl_topology_controlnet_vs_torch():
+    """SDXL-topology ControlNet at reduced width (matches
+    test_sdxl_topology_unet_vs_torch's UNet config): text_time added
+    conditioning, linear projection, deepening transformer stack."""
+    ucfg = UNetConfig(
+        sample_size=16,
+        block_out_channels=(128, 256, 512),
+        down_block_has_attn=(False, True, True),
+        transformer_layers_per_block=(1, 2, 4),
+        cross_attention_dim=160,
+        attention_head_dim=(4, 8, 8),
+        use_linear_projection=True,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=32,
+        projection_class_embeddings_input_dim=64 + 6 * 32,
+        pooled_projection_dim=64)
+    cfg = ControlNetConfig(
+        unet=ucfg, conditioning_embedding_out_channels=(16, 32, 96, 256))
+    _run_controlnet_golden(cfg, lat_hw=16, seed=14, atol=1e-4)
 
 
 @pytest.mark.slow
