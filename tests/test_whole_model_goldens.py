@@ -38,7 +38,9 @@ from test_torch_goldens import (
     TorchAttention, TorchResnet, TorchTransformer2D, TorchVAEAttn,
 )
 
-from elasticdiffusion_tpu.configs import ControlNetConfig, UNetConfig, VAEConfig
+from elasticdiffusion_tpu.configs import (
+    ControlNetConfig, UNET_SD2, UNetConfig, VAEConfig,
+)
 from elasticdiffusion_tpu.models.controlnet import ControlNet
 from elasticdiffusion_tpu.models.convert import (
     convert_controlnet, convert_unet, convert_vae,
@@ -323,6 +325,15 @@ def test_full_sd15_unet_vs_torch():
     through the real converter (ref contract:
     /root/reference/elastic_diffusion.py:147)."""
     _run_unet_golden(UNetConfig(), lat_hw=32, seed=10, atol=3e-4)
+
+
+@pytest.mark.slow
+def test_full_sd21_unet_vs_torch():
+    """The COMPLETE SD2.1-base UNet architecture: 4 blocks with attn
+    (T,T,T,F), linear projection, 1024-dim cross-attention, per-block head
+    counts (5,10,20,20) — the combination the reference loads for
+    sd_version '2.0'/'2.1' (/root/reference/elastic_diffusion.py:128-131)."""
+    _run_unet_golden(UNET_SD2, lat_hw=16, seed=15, atol=3e-4)
 
 
 @pytest.mark.slow
