@@ -213,6 +213,14 @@ def main():
     rs = int(os.environ.get("ED_BENCH_RS", "7"))
     num_steps = 50
 
+    if preset == "cpu-smoke":
+        # force the CPU backend BEFORE any backend query: this environment
+        # preloads jax with JAX_PLATFORMS=axon (a TPU tunnel), and if the
+        # tunnel is down, backend init hangs — the cpu-smoke fallback must
+        # not depend on it (env-var edits are too late, config.update works;
+        # same bootstrap as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+
     on_tpu = jax.default_backend() not in ("cpu",)
     runtime = RuntimeConfig(
         param_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
@@ -257,6 +265,16 @@ def main():
     # last step has no repaint: subtract its extra forwards once
     fwd_per_image = num_steps * fwd_per_step - (2 + V)
     sec_per_image = per_fwd * fwd_per_image + decode_s
+
+    # achieved MXU rate vs v5e bf16 peak (~197 TFLOP/s): how much kernel
+    # headroom remains (utils/flops.py analytic matmul/conv count)
+    from elasticdiffusion_tpu.utils.flops import unet_forward_flops
+    s = pipe.bundle.sample_size
+    fwd_tflops = unet_forward_flops(pipe.bundle.config.unet, s, s) / 1e12
+    extras["model_tflops_per_forward"] = round(fwd_tflops, 6)
+    extras["achieved_tflops_per_sec"] = round(fwd_tflops / max(per_fwd, 1e-9), 1)
+    extras["fraction_of_v5e_bf16_peak"] = round(
+        fwd_tflops / max(per_fwd, 1e-9) / 197.0, 3)
     if "projected_v5e8_denoise_sec_per_image" in extras:
         extras["projected_v5e8_sec_per_image"] = round(
             extras["projected_v5e8_denoise_sec_per_image"] + decode_s / 8, 1)
@@ -289,9 +307,23 @@ def main_with_fallback():
     is cold; a bench that reports a smaller preset beats one that hangs)."""
     import subprocess
     budget = int(os.environ.get("ED_BENCH_TIMEOUT", "2400"))
-    for preset, mode in (("sdxl", "step"), ("sdxl", "micro"),
-                         ("sd15", "step"), ("sd15", "micro"),
-                         ("cpu-smoke", "micro")):
+
+    # quick tunnel-health probe: if the TPU backend can't even enumerate
+    # devices, don't burn the budget on presets that would hang at backend
+    # init — go straight to the CPU smoke preset
+    presets = (("sdxl", "step"), ("sdxl", "micro"),
+               ("sd15", "step"), ("sd15", "micro"),
+               ("cpu-smoke", "micro"))
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=int(
+                os.environ.get("ED_BENCH_PROBE_TIMEOUT", "240")), check=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print("[bench] TPU backend probe failed; skipping TPU presets",
+              file=sys.stderr, flush=True)
+        presets = (("cpu-smoke", "micro"),)
+    for preset, mode in presets:
         env = dict(os.environ)
         env["ED_BENCH_PRESET"] = preset
         env["ED_BENCH_MODE"] = mode

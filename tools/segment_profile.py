@@ -63,15 +63,52 @@ def main():
             if best is None or total < best[0]:
                 best = (total, timings)
         total, timings = best
+
+        # achieved MXU rate + roofline floor per stage (utils/flops.py;
+        # v5e peaks ~197 bf16 TFLOP/s, ~819 GB/s HBM): compute-bound stages
+        # are kernel targets, hbm-bound ones are fusion/layout targets
+        from elasticdiffusion_tpu.utils.flops import (
+            roofline_seconds, unet_stage_costs,
+        )
+        sc = unet_stage_costs(b.config.unet, s, s)
+        n_blocks = len(b.config.unet.block_out_channels)
+
+        def _merge(keys):
+            return {f: sum(sc[k][f] for k in keys) for f in sc["stem"]}
+
+        for k in range(n_blocks):
+            sc[f"front_{k}"] = _merge(["stem"] +
+                                      [f"down_{i}" for i in range(k + 1)])
+            sc[f"tail_{k}"] = _merge(["out"] +
+                                     [f"up_{i}" for i in range(k + 1)])
+        stage_tflops = {
+            k: round(bs * sc[k]["flops"] / v / 1e12, 1)
+            for k, v in timings.items() if k in sc and v > 0}
+        stage_floor = {
+            k: {"floor_ms": round(r["floor_s"] * 1e3, 1), "bound": r["bound"],
+                "measured_over_floor": round(timings[k] / r["floor_s"], 2)}
+            for k, r in ((k, roofline_seconds(sc[k], bs))
+                         for k in timings if k in sc)}
+        fwd_tflops = sum(sc[k]["flops"] for k in
+                         ("stem", "mid", "out",
+                          *(f"down_{i}" for i in range(n_blocks)),
+                          *(f"up_{i}" for i in range(n_blocks)))) / 1e12
+
         result["per_batch"][str(bs)] = {
             "compile_seconds": round(compile_s, 1),
             "total_seconds": round(total, 4),
             "per_forward_seconds": round(total / bs, 4),
+            "achieved_tflops_per_sec": round(bs * fwd_tflops / total, 1),
+            "fraction_of_v5e_bf16_peak": round(bs * fwd_tflops / total / 197.0, 3),
             "stages": {k: round(v, 4) for k, v in timings.items()},
+            "stage_tflops_per_sec": stage_tflops,
+            "stage_roofline": stage_floor,
         }
         print(f"batch {bs}: total {total:.3f}s "
-              f"({total / bs * 1e3:.1f} ms/fwd) stages="
-              f"{ {k: round(v, 3) for k, v in timings.items()} }", flush=True)
+              f"({total / bs * 1e3:.1f} ms/fwd, "
+              f"{bs * fwd_tflops / total:.0f} TFLOP/s) stages="
+              f"{ {k: round(v, 3) for k, v in timings.items()} } "
+              f"rates={stage_tflops}", flush=True)
 
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/SEGMENT_PROFILE.json", "w") as f:
