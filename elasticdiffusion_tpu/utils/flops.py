@@ -34,6 +34,7 @@ class _Cost:
 
     def __init__(self):
         self.flops = 0
+        self.attn_dot_flops = 0  # the D=64 QK^T/PV dots (~50% MXU rate cap)
         self.param_bytes = 0
         self.act_bytes = 0
 
@@ -51,6 +52,7 @@ class _Cost:
         # QK^T + PV at 2 FLOPs/MAC each; flash attention keeps the (s_q,s_k)
         # logits in VMEM, so no HBM bytes for them
         self.flops += 2 * 2 * s_q * s_k * c
+        self.attn_dot_flops += 2 * 2 * s_q * s_k * c
 
     def resnet(self, h, w, cin, cout, temb_dim):
         self.conv(h, w, cin, cout)
@@ -79,7 +81,8 @@ class _Cost:
             self.dense(s, 4 * c, c)
 
     def snapshot(self):
-        return {"flops": self.flops, "param_bytes": self.param_bytes,
+        return {"flops": self.flops, "attn_dot_flops": self.attn_dot_flops,
+                "param_bytes": self.param_bytes,
                 "act_bytes": self.act_bytes}
 
 
