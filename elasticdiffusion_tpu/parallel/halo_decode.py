@@ -359,7 +359,19 @@ def halo_decode(bundle, latents_nchw, mesh: Optional[Mesh] = None,
     program (eager op-by-op execution would hold all intermediates live —
     OOM at 2048^2 fp32 — and dispatch one remote program per op on this
     backend).
+
+    Matmul pass count inside the fp32 decode comes from
+    runtime.vae_matmul_precision (the precision is part of jax's trace
+    context, so every jitted branch below retraces per setting).
     """
+    with jax.default_matmul_precision(bundle.runtime.vae_matmul_precision):
+        return _halo_decode_impl(bundle, latents_nchw, mesh=mesh, halo=halo,
+                                 num_bands=num_bands, streamed=streamed)
+
+
+def _halo_decode_impl(bundle, latents_nchw, mesh: Optional[Mesh],
+                      halo: int, num_bands: Optional[int],
+                      streamed: Optional[bool]):
     B, C, H, W = latents_nchw.shape
     vsf = bundle.vae_scale_factor
 

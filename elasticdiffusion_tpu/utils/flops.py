@@ -57,7 +57,8 @@ class _Cost:
     def resnet(self, h, w, cin, cout, temb_dim):
         self.conv(h, w, cin, cout)
         self.conv(h, w, cout, cout)
-        self.dense(1, temb_dim, cout)  # time_emb_proj (per batch row)
+        if temb_dim:  # time_emb_proj (per batch row); VAE resnets have none
+            self.dense(1, temb_dim, cout)
         if cin != cout:
             self.conv(h, w, cin, cout, k=1)  # conv_shortcut
 
@@ -169,6 +170,101 @@ def unet_forward_flops(cfg: UNetConfig, height: int, width: int,
                        ctx_len: int = 77) -> int:
     """Total matmul/conv FLOPs of ONE UNet forward, per batch row."""
     return sum(unet_stage_flops(cfg, height, width, ctx_len).values())
+
+
+def controlnet_costs(cn_cfg, height: int, width: int,
+                     ctx_len: int = 77) -> dict:
+    """{flops, attn_dot_flops, param_bytes, act_bytes} of ONE ControlNet
+    forward at latent (height, width), per batch row — models/controlnet.py:
+    conditioning embedding (strided conv pyramid over the pixel-resolution
+    condition), the UNet's down+mid twin, and the per-residual zero convs.
+    The reference adds this to every UNet call when conditioning
+    (/root/reference/elastic_diffusion_w_controlnet.py:434-524)."""
+    cfg = cn_cfg.unet
+    bo = cfg.block_out_channels
+    n = len(bo)
+    temb = bo[0] * 4
+    h, w = height, width
+    c = _Cost()
+
+    # conditioning embedding: pixel res -> latent res via stride-2 convs
+    import math
+    k = int(math.log2(cn_cfg.cond_downsample_factor))
+    ch = cn_cfg.conditioning_embedding_out_channels[-(k + 1):]
+    ph, pw = h * cn_cfg.cond_downsample_factor, w * cn_cfg.cond_downsample_factor
+    c.conv(ph, pw, cn_cfg.conditioning_channels, ch[0])
+    for i in range(len(ch) - 1):
+        c.conv(ph, pw, ch[i], ch[i])
+        ph, pw = ph // 2, pw // 2
+        c.conv(ph, pw, ch[i], ch[i + 1])
+    c.conv(h, w, ch[-1], bo[0])  # cond conv_out (zero-init, still computed)
+
+    c.conv(h, w, cfg.in_channels, bo[0])  # conv_in
+    c.dense(1, bo[0], temb)
+    c.dense(1, temb, temb)
+    if cfg.addition_embed_type == "text_time":
+        c.dense(1, cfg.projection_class_embeddings_input_dim, temb)
+        c.dense(1, temb, temb)
+
+    c.conv(h, w, bo[0], bo[0], k=1)  # zero conv on the conv_in residual
+    cin = bo[0]
+    for i in range(n):
+        for _ in range(cfg.layers_per_block):
+            c.resnet(h, w, cin, bo[i], temb)
+            if cfg.down_block_has_attn[i]:
+                c.transformer(h, w, bo[i],
+                              cfg.transformer_layers_per_block[i],
+                              ctx_len, cfg.cross_attention_dim)
+            cin = bo[i]
+            c.conv(h, w, cin, cin, k=1)  # zero conv
+        if i < n - 1:
+            h, w = h // 2, w // 2
+            c.conv(h, w, bo[i], bo[i])  # downsampler
+            c.conv(h, w, bo[i], bo[i], k=1)  # zero conv
+    c.resnet(h, w, bo[-1], bo[-1], temb)
+    c.transformer(h, w, bo[-1], cfg.transformer_layers_per_block[-1],
+                  ctx_len, cfg.cross_attention_dim)
+    c.resnet(h, w, bo[-1], bo[-1], temb)
+    c.conv(h, w, bo[-1], bo[-1], k=1)  # mid zero conv
+    return c.snapshot()
+
+
+def vae_decoder_costs(cfg, lat_h: int, lat_w: int,
+                      bytes_per_el: int = 4) -> dict:
+    """{flops, attn_dot_flops, param_bytes, act_bytes} of ONE VAE decode at
+    latent (lat_h, lat_w) — models/vae.py Decoder: post_quant conv, conv_in,
+    mid (resnet/attn/resnet), reversed-channel up stack with nearest-2x
+    upsamplers, out head. bytes_per_el defaults to 4: the production decode
+    is fp32 (force_upcast contract). NOTE the fp32 FLOPs run at the fp32
+    matmul rate (~1/6 of bf16 peak under precision 'highest'), so divide the
+    compute bound accordingly when comparing to the 197 TFLOP/s peak."""
+    global _BYTES
+    bo = list(reversed(cfg.block_out_channels))
+    h, w = lat_h, lat_w
+    saved, _BYTES = _BYTES, bytes_per_el
+    try:
+        c = _Cost()
+        c.conv(h, w, cfg.latent_channels, cfg.latent_channels, k=1)  # post_quant
+        c.conv(h, w, cfg.latent_channels, bo[0])  # conv_in
+        c.resnet(h, w, bo[0], bo[0], 0)
+        # single-head mid attention at latent resolution
+        s = h * w
+        for _ in range(4):  # qkv + out projections
+            c.dense(s, bo[0], bo[0])
+        c.attn_dots(s, s, bo[0])
+        c.resnet(h, w, bo[0], bo[0], 0)
+        cin = bo[0]
+        for i, ch in enumerate(bo):
+            for _ in range(cfg.layers_per_block + 1):
+                c.resnet(h, w, cin, ch, 0)
+                cin = ch
+            if i < len(bo) - 1:
+                h, w = h * 2, w * 2
+                c.conv(h, w, ch, ch)  # upsampler conv (post-nearest-2x)
+        c.conv(h, w, bo[-1], cfg.out_channels)  # out head
+    finally:
+        _BYTES = saved
+    return c.snapshot()
 
 
 def roofline_seconds(cost: dict, batch: int,

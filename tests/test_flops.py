@@ -89,6 +89,46 @@ def test_stage_costs_param_bytes_match_model():
     assert got == want, (got, want)
 
 
+def test_controlnet_costs_param_bytes_match_model():
+    """ControlNet walker param bytes == the real Flax ControlNet's conv/dense
+    parameter bytes (same filter as the UNet test)."""
+    from elasticdiffusion_tpu.configs import ControlNetConfig
+    from elasticdiffusion_tpu.models.controlnet import ControlNet
+    from elasticdiffusion_tpu.utils.flops import controlnet_costs
+
+    ucfg = UNetConfig(
+        sample_size=8, block_out_channels=(32, 64),
+        down_block_has_attn=(True, False), layers_per_block=2,
+        transformer_layers_per_block=(2, 1), cross_attention_dim=48,
+        attention_head_dim=(4, 4))
+    cfg = ControlNetConfig(unet=ucfg, cond_downsample_factor=4,
+                           conditioning_embedding_out_channels=(8, 16, 24))
+    model = ControlNet(cfg, use_pallas="off")
+    x = jnp.zeros((1, ucfg.in_channels, 8, 8), jnp.float32)
+    ctx = jnp.zeros((1, 77, ucfg.cross_attention_dim), jnp.float32)
+    cond = jnp.zeros((1, cfg.conditioning_channels, 32, 32), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.float32(1.0), ctx, cond)
+
+    want = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = jax.tree_util.keystr(path)
+        if "kernel" in name or ("bias" in name and "norm" not in name.lower()):
+            want += leaf.size * 2
+    got = controlnet_costs(cfg, 8, 8)["param_bytes"]
+    assert got == want, (got, want)
+
+
+def test_controlnet_flops_magnitude():
+    """SDXL depth/canny ControlNet adds roughly 30-50% of a UNet forward
+    (SURVEY §3.3: 'each UNet forward gains a preceding ControlNet forward
+    (~ +40% FLOPs/view)')."""
+    from elasticdiffusion_tpu.configs import ControlNetConfig
+    from elasticdiffusion_tpu.utils.flops import controlnet_costs
+    cn = controlnet_costs(ControlNetConfig(unet=UNET_SDXL), 128, 128)
+    unet = unet_forward_flops(UNET_SDXL, 128, 128)
+    assert 0.25 < cn["flops"] / unet < 0.6, cn["flops"] / unet
+
+
 def test_roofline_bounds():
     from elasticdiffusion_tpu.utils.flops import (
         roofline_seconds, unet_stage_costs,
