@@ -268,13 +268,28 @@ def main():
 
     # achieved MXU rate vs v5e bf16 peak (~197 TFLOP/s): how much kernel
     # headroom remains (utils/flops.py analytic matmul/conv count)
-    from elasticdiffusion_tpu.utils.flops import unet_forward_flops
+    from elasticdiffusion_tpu.utils.flops import (
+        roofline_seconds, unet_forward_flops, vae_decoder_costs,
+    )
     s = pipe.bundle.sample_size
     fwd_tflops = unet_forward_flops(pipe.bundle.config.unet, s, s) / 1e12
     extras["model_tflops_per_forward"] = round(fwd_tflops, 6)
     extras["achieved_tflops_per_sec"] = round(fwd_tflops / max(per_fwd, 1e-9), 1)
     extras["fraction_of_v5e_bf16_peak"] = round(
         fwd_tflops / max(per_fwd, 1e-9) / 197.0, 3)
+    if decode_s and jax.default_backend() not in ("cpu",):
+        # decode roofline floor at the fp32 pass count actually configured
+        # ('high' = 3-pass default, 'highest' = 6-pass); v5e rates, so
+        # TPU-backend only
+        passes = {"high": 3, "highest": 6}.get(
+            pipe.runtime.vae_matmul_precision, 1)
+        dc = vae_decoder_costs(pipe.bundle.config.vae,
+                               height // pipe.vae_scale_factor,
+                               width // pipe.vae_scale_factor)
+        floor = roofline_seconds(dc, 1, tflops_peak=197.0 / passes)
+        extras["decode_floor_seconds"] = round(floor["floor_s"], 2)
+        extras["decode_measured_over_floor"] = round(
+            decode_s / max(floor["floor_s"], 1e-9), 2)
     if "projected_v5e8_denoise_sec_per_image" in extras:
         extras["projected_v5e8_sec_per_image"] = round(
             extras["projected_v5e8_denoise_sec_per_image"] + decode_s / 8, 1)
