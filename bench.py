@@ -281,8 +281,10 @@ def main():
         # decode roofline floor at the fp32 pass count actually configured
         # ('high' = 3-pass default, 'highest' = 6-pass); v5e rates, so
         # TPU-backend only
+        fp32_dec = (pipe.bundle.config.vae.force_upcast
+                    and pipe.runtime.vae_decode_fp32)
         passes = {"high": 3, "highest": 6}.get(
-            pipe.runtime.vae_matmul_precision, 1)
+            pipe.runtime.vae_matmul_precision, 1) if fp32_dec else 1
         dc = vae_decoder_costs(pipe.bundle.config.vae,
                                height // pipe.vae_scale_factor,
                                width // pipe.vae_scale_factor)

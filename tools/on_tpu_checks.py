@@ -66,15 +66,56 @@ def check_groupnorm():
     return out
 
 
+def check_decode_precision():
+    """fp32 decode at matmul precision 'high' (3-pass, the default) vs
+    'highest' (6-pass), full SD VAE decoder architecture, compiled on chip —
+    the accuracy evidence behind RuntimeConfig.vae_matmul_precision. Also
+    times both (the knob's whole point is the ~2x pass-count saving)."""
+    import dataclasses
+    from elasticdiffusion_tpu.configs import RuntimeConfig, get_bundle_config
+    from elasticdiffusion_tpu.models.registry import load_bundle
+    lat = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 64, 64),
+                            jnp.float32) * 0.5
+    # SD1.5 VAE architecture with force_upcast flipped on so the fp32 decode
+    # path (where the pass-count knob bites) engages without loading the
+    # 2.6B-param XL UNet
+    cfgb = get_bundle_config("1.5")
+    cfgb = dataclasses.replace(
+        cfgb, vae=dataclasses.replace(cfgb.vae, force_upcast=True))
+    outs, secs = {}, {}
+    for prec in ("high", "highest"):
+        rt = RuntimeConfig(vae_matmul_precision=prec)
+        b = load_bundle("1.5", runtime=rt, bundle_config=cfgb)
+        img = b.vae_decode(lat)
+        float(img[0, 0, 0, 0])  # compile+settle (tunnel-safe sync)
+        t0 = time.time()
+        img = b.vae_decode(lat)
+        float(img[0, 0, 0, 0])
+        secs[prec] = time.time() - t0
+        outs[prec] = np.asarray(img, np.float32)
+    d = np.abs(outs["high"] - outs["highest"])
+    scale = max(float(np.abs(outs["highest"]).max()), 1e-9)
+    rel = float(d.max()) / scale
+    # bound: far below one uint8 quantization step (1/255 ~ 4e-3 of range)
+    ok = rel < 1e-3
+    print(f"decode high-vs-highest: rel={rel:.2e} "
+          f"t_high={secs['high']:.2f}s t_highest={secs['highest']:.2f}s ok={ok}")
+    return [{"shape": [1, 4, 64, 64], "rel_err": rel,
+             "seconds_high": round(secs["high"], 3),
+             "seconds_highest": round(secs["highest"], 3), "ok": ok}]
+
+
 def main():
     assert jax.default_backend() not in ("cpu",), \
         "on-TPU checks need the TPU backend"
     t0 = time.time()
     result = {"backend": jax.default_backend(),
               "flash_attention": check_flash(),
-              "fused_group_norm": check_groupnorm()}
+              "fused_group_norm": check_groupnorm(),
+              "decode_precision": check_decode_precision()}
     result["all_ok"] = all(r["ok"] for sec in ("flash_attention",
-                                               "fused_group_norm")
+                                               "fused_group_norm",
+                                               "decode_precision")
                            for r in result[sec])
     result["wall_seconds"] = round(time.time() - t0, 1)
     os.makedirs("artifacts", exist_ok=True)
