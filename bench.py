@@ -283,11 +283,13 @@ def main():
         # TPU-backend only
         fp32_dec = (pipe.bundle.config.vae.force_upcast
                     and pipe.runtime.vae_decode_fp32)
-        passes = {"high": 3, "highest": 6}.get(
+        passes = {"high": 3, "bfloat16_3x": 3, "highest": 6,
+                  "float32": 6}.get(
             pipe.runtime.vae_matmul_precision, 1) if fp32_dec else 1
         dc = vae_decoder_costs(pipe.bundle.config.vae,
                                height // pipe.vae_scale_factor,
-                               width // pipe.vae_scale_factor)
+                               width // pipe.vae_scale_factor,
+                               bytes_per_el=4 if fp32_dec else 2)
         floor = roofline_seconds(dc, 1, tflops_peak=197.0 / passes)
         extras["decode_floor_seconds"] = round(floor["floor_s"], 2)
         extras["decode_measured_over_floor"] = round(
@@ -327,19 +329,24 @@ def main_with_fallback():
 
     # quick tunnel-health probe: if the TPU backend can't even enumerate
     # devices, don't burn the budget on presets that would hang at backend
-    # init — go straight to the CPU smoke preset
+    # init — go straight to the CPU smoke preset. Healthy device enumeration
+    # takes well under a minute (the minutes-to-hours pathology is remote
+    # COMPILES, which the probe never triggers); the generous default only
+    # delays the fallback when the tunnel is truly dead. 0 disables the
+    # probe.
     presets = (("sdxl", "step"), ("sdxl", "micro"),
                ("sd15", "step"), ("sd15", "micro"),
                ("cpu-smoke", "micro"))
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=int(
-                os.environ.get("ED_BENCH_PROBE_TIMEOUT", "240")), check=True)
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-        print("[bench] TPU backend probe failed; skipping TPU presets",
-              file=sys.stderr, flush=True)
-        presets = (("cpu-smoke", "micro"),)
+    probe_s = int(os.environ.get("ED_BENCH_PROBE_TIMEOUT", "900"))
+    if probe_s:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_s, check=True)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print("[bench] TPU backend probe failed; skipping TPU presets",
+                  file=sys.stderr, flush=True)
+            presets = (("cpu-smoke", "micro"),)
     for preset, mode in presets:
         env = dict(os.environ)
         env["ED_BENCH_PRESET"] = preset

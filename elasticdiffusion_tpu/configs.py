@@ -275,8 +275,10 @@ class RuntimeConfig:
     # because fp16 lacks RANGE (overflow -> black images); fp32 activations
     # preserve range regardless of the matmul pass count. 'high' (3-pass
     # bf16, ~fp32 mantissa coverage, ~2x the 6-pass 'highest' throughput) is
-    # visually and numerically indistinguishable (<1e-5 relative) and is the
-    # default; set 'highest' for bit-level fp32 matmuls.
+    # the default: the high-vs-highest deviation is bounded on chip by
+    # tools/on_tpu_checks.py check_decode_precision at <1e-3 relative —
+    # below one uint8 quantization step (1/255 of the output range). Set
+    # 'highest' for bit-level fp32 matmuls.
     vae_matmul_precision: str = "high"
     use_pallas: str = "auto"                   # 'auto' | 'on' | 'off'
     mesh_shape: Tuple[int, ...] = (1, 1)       # (data, views)

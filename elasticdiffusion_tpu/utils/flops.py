@@ -26,13 +26,14 @@ from __future__ import annotations
 
 from elasticdiffusion_tpu.configs import UNetConfig
 
-_BYTES = 2  # bf16 weights and activations on the TPU hot path
-
-
 class _Cost:
-    """Accumulates (flops, param_bytes, act_bytes) over walked ops."""
+    """Accumulates (flops, param_bytes, act_bytes) over walked ops.
 
-    def __init__(self):
+    bytes_per_el: 2 for the bf16 TPU hot path (default), 4 for fp32 paths
+    (force_upcast VAE decode)."""
+
+    def __init__(self, bytes_per_el: int = 2):
+        self.bytes_per_el = bytes_per_el
         self.flops = 0
         self.attn_dot_flops = 0  # the D=64 QK^T/PV dots (~50% MXU rate cap)
         self.param_bytes = 0
@@ -40,13 +41,14 @@ class _Cost:
 
     def conv(self, h, w, cin, cout, k=3):
         self.flops += 2 * h * w * cin * cout * k * k
-        self.param_bytes += (cin * cout * k * k + cout) * _BYTES
-        self.act_bytes += (h * w * cin + h * w * cout) * _BYTES
+        self.param_bytes += (cin * cout * k * k + cout) * self.bytes_per_el
+        self.act_bytes += (h * w * cin + h * w * cout) * self.bytes_per_el
 
     def dense(self, tokens, din, dout, bias=True):
         self.flops += 2 * tokens * din * dout
-        self.param_bytes += (din * dout + (dout if bias else 0)) * _BYTES
-        self.act_bytes += (tokens * din + tokens * dout) * _BYTES
+        self.param_bytes += (din * dout
+                             + (dout if bias else 0)) * self.bytes_per_el
+        self.act_bytes += (tokens * din + tokens * dout) * self.bytes_per_el
 
     def attn_dots(self, s_q, s_k, c):
         # QK^T + PV at 2 FLOPs/MAC each; flash attention keeps the (s_q,s_k)
@@ -238,32 +240,27 @@ def vae_decoder_costs(cfg, lat_h: int, lat_w: int,
     is fp32 (force_upcast contract). NOTE the fp32 FLOPs run at the fp32
     matmul rate (~1/6 of bf16 peak under precision 'highest'), so divide the
     compute bound accordingly when comparing to the 197 TFLOP/s peak."""
-    global _BYTES
     bo = list(reversed(cfg.block_out_channels))
     h, w = lat_h, lat_w
-    saved, _BYTES = _BYTES, bytes_per_el
-    try:
-        c = _Cost()
-        c.conv(h, w, cfg.latent_channels, cfg.latent_channels, k=1)  # post_quant
-        c.conv(h, w, cfg.latent_channels, bo[0])  # conv_in
-        c.resnet(h, w, bo[0], bo[0], 0)
-        # single-head mid attention at latent resolution
-        s = h * w
-        for _ in range(4):  # qkv + out projections
-            c.dense(s, bo[0], bo[0])
-        c.attn_dots(s, s, bo[0])
-        c.resnet(h, w, bo[0], bo[0], 0)
-        cin = bo[0]
-        for i, ch in enumerate(bo):
-            for _ in range(cfg.layers_per_block + 1):
-                c.resnet(h, w, cin, ch, 0)
-                cin = ch
-            if i < len(bo) - 1:
-                h, w = h * 2, w * 2
-                c.conv(h, w, ch, ch)  # upsampler conv (post-nearest-2x)
-        c.conv(h, w, bo[-1], cfg.out_channels)  # out head
-    finally:
-        _BYTES = saved
+    c = _Cost(bytes_per_el)
+    c.conv(h, w, cfg.latent_channels, cfg.latent_channels, k=1)  # post_quant
+    c.conv(h, w, cfg.latent_channels, bo[0])  # conv_in
+    c.resnet(h, w, bo[0], bo[0], 0)
+    # single-head mid attention at latent resolution
+    s = h * w
+    for _ in range(4):  # qkv + out projections
+        c.dense(s, bo[0], bo[0])
+    c.attn_dots(s, s, bo[0])
+    c.resnet(h, w, bo[0], bo[0], 0)
+    cin = bo[0]
+    for i, ch in enumerate(bo):
+        for _ in range(cfg.layers_per_block + 1):
+            c.resnet(h, w, cin, ch, 0)
+            cin = ch
+        if i < len(bo) - 1:
+            h, w = h * 2, w * 2
+            c.conv(h, w, ch, ch)  # upsampler conv (post-nearest-2x)
+    c.conv(h, w, bo[-1], cfg.out_channels)  # out head
     return c.snapshot()
 
 

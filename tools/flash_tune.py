@@ -53,6 +53,14 @@ def main():
         v = jax.random.normal(jax.random.PRNGKey(2), (1, s, bh, d),
                               jnp.bfloat16)
         flops = 4 * bh * s * s * d
+        # bare device->host sync roundtrip, subtracted from every timing —
+        # at the ~1 ms kernel shapes the tunnel roundtrip would otherwise
+        # dominate and compress the differences between block configs
+        float(q[0, 0, 0, 0])
+        t0 = time.time()
+        for _ in range(4):
+            float(q[0, 0, 0, 0])
+        roundtrip = (time.time() - t0) / 4
         best = None
         for bq, bk in itertools.product(BLOCKS_Q, BLOCKS_K):
             if bq > s or bk > s:
@@ -66,7 +74,7 @@ def main():
                     out = flash_attention(q, k, v, block_q=bq, block_k=bk)
                     float(out[0, 0, 0, 0])
                     times.append(time.time() - t0)
-                t = min(times)
+                t = max(min(times) - roundtrip, 1e-9)
                 tf = flops / t / 1e12
                 print(f"{label} bq={bq} bk={bk}: {t*1e3:7.2f} ms "
                       f"{tf:6.1f} TFLOP/s", flush=True)

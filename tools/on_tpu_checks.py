@@ -82,10 +82,15 @@ def check_decode_precision():
     cfgb = get_bundle_config("1.5")
     cfgb = dataclasses.replace(
         cfgb, vae=dataclasses.replace(cfgb.vae, force_upcast=True))
+    b0 = load_bundle("1.5", runtime=RuntimeConfig(vae_matmul_precision="high"),
+                     bundle_config=cfgb)
     outs, secs = {}, {}
     for prec in ("high", "highest"):
-        rt = RuntimeConfig(vae_matmul_precision=prec)
-        b = load_bundle("1.5", runtime=rt, bundle_config=cfgb)
+        # swap only the runtime knob; params and the loaded bundle are shared
+        # (per-precision jit cache keys keep the traces separate)
+        b = dataclasses.replace(
+            b0, runtime=dataclasses.replace(b0.runtime,
+                                            vae_matmul_precision=prec))
         img = b.vae_decode(lat)
         float(img[0, 0, 0, 0])  # compile+settle (tunnel-safe sync)
         t0 = time.time()
