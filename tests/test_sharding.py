@@ -110,6 +110,34 @@ def test_segmented_mesh_pad_sharding():
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
 
 
+@requires_8
+def test_data_views_mesh_invariance_b2():
+    """Combined ('data','views') = (2,4) mesh with a 2-prompt batch: the
+    prompt batch shards over 'data' (sharding.shard_batch) while the merged
+    view/substep fan-out shards over 'views' — output must equal the
+    single-device run exactly (same key threading)."""
+    rt1 = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                        use_pallas="off", mesh_shape=(1, 1))
+    rt24 = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                         use_pallas="off", mesh_shape=(2, 4))
+    kw = dict(height=32, width=48, num_inference_steps=2, resampling_steps=1,
+              repaint_sampling=True, rrg_init_weight=1000, rrg_stop_t=0.0,
+              return_arrays=True)
+    prompts = ["a cat", "a dog"]
+
+    p1 = ElasticDiffusion(bundle=make_toy_bundle(runtime=rt1), runtime=rt1)
+    p1.seed_everything(7)
+    a, _ = p1.generate_image(prompts, **kw)
+
+    p24 = ElasticDiffusion(bundle=make_toy_bundle(runtime=rt24), runtime=rt24)
+    assert p24.mesh is not None and p24.mesh.shape == {"data": 2, "views": 4}
+    p24.seed_everything(7)
+    b, _ = p24.generate_image(prompts, **kw)
+
+    assert np.asarray(a).shape[0] == 2
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+
 def test_direction_batch_sharding_invariance():
     """The batched resampling substeps (signals.approximate_latent_direction)
     shard over the 'views' axis; output must equal the unsharded run."""

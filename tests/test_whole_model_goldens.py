@@ -287,6 +287,21 @@ class TorchVAE(tnn.Module):
                 h = blk.upsamplers[0](h)
         return dec.conv_out(F.silu(dec.conv_norm_out(h)))
 
+    def encode_moments(self, x):
+        enc = self.encoder
+        h = enc.conv_in(x)
+        for blk in enc.down_blocks:
+            for r in blk.resnets:
+                h = r(h)
+            if hasattr(blk, "downsamplers"):
+                h = blk.downsamplers[0](h)
+        h = enc.mid_block.resnets[0](h)
+        h = enc.mid_block.attentions[0](h)
+        h = enc.mid_block.resnets[1](h)
+        moments = self.quant_conv(enc.conv_out(F.silu(enc.conv_norm_out(h))))
+        mean, logvar = torch.chunk(moments, 2, dim=1)
+        return mean, torch.clamp(logvar, -30.0, 20.0)
+
 
 def _np_sd(mod):
     return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
@@ -553,3 +568,26 @@ def test_full_sd_vae_decoder_vs_torch():
     got = vae.apply({"params": params}, jnp.asarray(z.numpy()),
                     method=vae.decode)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_full_sd_vae_encoder_vs_torch():
+    """The COMPLETE SD VAE encoder architecture, 64x64 RGB -> latent
+    moments, through convert_vae — the background-padding pathway
+    (make_denoised_background VAE-encodes solid colors,
+    /root/reference/elastic_diffusion.py:327-364)."""
+    cfg = VAEConfig()
+    torch.manual_seed(16)
+    ref = TorchVAE(cfg).eval()
+    x = torch.rand(1, cfg.in_channels, 64, 64) * 2 - 1
+    with torch.no_grad():
+        want_mean, want_logvar = ref.encode_moments(x)
+
+    params = convert_vae(_np_sd(ref), cfg)
+    vae = AutoencoderKL(cfg, use_pallas="off")
+    mean, logvar = vae.apply({"params": params}, jnp.asarray(x.numpy()),
+                             method=vae.encode_moments)
+    np.testing.assert_allclose(np.asarray(mean), want_mean.numpy(),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(logvar), want_logvar.numpy(),
+                               atol=2e-4, rtol=1e-3)
