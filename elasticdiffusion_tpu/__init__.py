@@ -29,3 +29,14 @@ from elasticdiffusion_tpu.sched.weight_schedulers import (  # noqa: F401
     LinearScheduler,
     ConstScheduler,
 )
+
+
+def __getattr__(name):
+    """Lazy top-level export of the pipeline class (PEP 562) so
+    `from elasticdiffusion_tpu import ElasticDiffusion` mirrors the
+    reference's one-import ergonomics (`from elastic_diffusion import
+    ElasticDiffusion`) without eagerly importing the model stack."""
+    if name == "ElasticDiffusion":
+        from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+        return ElasticDiffusion
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
