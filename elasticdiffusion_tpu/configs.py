@@ -298,6 +298,13 @@ class RuntimeConfig:
     # deep blocks and mid as their own programs), 0 = off, k > 0 = explicit
     # last merged block index.
     segment_merge: int = -1
+    # deeper chain merges on top of segment_merge (dispatch-overhead lever;
+    # numerically identical, falls back to the unmerged chain under
+    # ControlNet): 'off' | 'down_mid' (deep down blocks + mid as one
+    # program) | 'full_core' (down+mid+up twins as one program — largest
+    # program, may exceed what the remote compile service can build at XL
+    # scale; measure before defaulting).
+    segment_merge_core: str = "off"
 
 
 @dataclass(frozen=True)

@@ -111,6 +111,42 @@ class ModelBundle:
             mk = -1  # off
         mk = min(mk, n - 2)
 
+        # deeper merges (segment_merge_core): run the deep blocks + mid (and
+        # for 'full_core' their up twins) as one program — 1-2 fewer
+        # dispatches per chain. Requires the front merge, and falls back to
+        # the unmerged chain under ControlNet (residual injection happens
+        # BETWEEN the down pass and mid, a seam these merges remove).
+        core = self.runtime.segment_merge_core
+        if (core != "off" and mk >= 0 and down_block_residuals is None
+                and mid_block_residual is None):
+            h, emb, res_t = ap(f"front_{mk}")(
+                self.unet_params, sample_nchw=latent_nchw, timesteps=t,
+                encoder_hidden_states=context,
+                added_text_embeds=added_text_embeds,
+                added_time_ids=added_time_ids)
+            residuals = list(res_t)
+            if core == "full_core":
+                # the core's up blocks consume ONE outside residual: block
+                # mk's downsample output (the last front residual)
+                skip_last = residuals.pop()
+                h = ap(f"core_{mk}")(self.unet_params, hidden=h, emb=emb,
+                                     encoder_hidden_states=context,
+                                     skips=(skip_last,))
+            else:  # 'down_mid'
+                h, outs = ap(f"downmid_{mk}")(self.unet_params, hidden=h,
+                                              emb=emb,
+                                              encoder_hidden_states=context)
+                residuals.extend(outs)
+                for i in reversed(range(mk + 1, n)):
+                    k2 = cfg.layers_per_block + 1
+                    sk, residuals = residuals[-k2:], residuals[:-k2]
+                    h = ap(f"up_{i}")(self.unet_params, hidden=h, emb=emb,
+                                      encoder_hidden_states=context,
+                                      skips=tuple(sk))
+            return ap(f"tail_{mk}")(self.unet_params, hidden=h, emb=emb,
+                                    encoder_hidden_states=context,
+                                    skips=tuple(residuals))
+
         if mk >= 0:
             h, emb, res_t = ap(f"front_{mk}")(
                 self.unet_params, sample_nchw=latent_nchw, timesteps=t,

@@ -226,6 +226,37 @@ class UNet2DCondition(nn.Module):
                 mine, sk = sk[-cnt:], sk[:-cnt]
                 x = up_block(i, x, e, mine)
             return out_block(x)
+        # deeper merges (RuntimeConfig.segment_merge_core): the deep blocks
+        # k+1..n-1 plus mid — and for 'full_core' their up twins — as ONE
+        # program, cutting 1-2 dispatch roundtrips per chain. The core's up
+        # blocks consume one residual produced OUTSIDE it (block k's
+        # downsample output, same spatial res as block k+1) — passed as the
+        # single element of `skips`.
+        if stage.startswith("downmid_"):
+            # down blocks k+1..n-1 + mid -> (h, residuals produced here)
+            k = int(stage[8:])
+            x = hidden.astype(self.dtype)
+            e = emb.astype(self.dtype)
+            res = []
+            for i in range(k + 1, n_blocks):
+                x, outs = down_block(i, x, e)
+                res.extend(outs)
+            return mid_block(x, e), tuple(res)
+        if stage.startswith("core_"):
+            # down blocks k+1..n-1 + mid + up blocks n-1..k+1 -> h
+            k = int(stage[5:])
+            x = hidden.astype(self.dtype)
+            e = emb.astype(self.dtype)
+            res = [s.astype(self.dtype) for s in skips]  # [downsample_k]
+            for i in range(k + 1, n_blocks):
+                x, outs = down_block(i, x, e)
+                res.extend(outs)
+            x = mid_block(x, e)
+            for i in reversed(range(k + 1, n_blocks)):
+                cnt = cfg.layers_per_block + 1
+                mine, res = res[-cnt:], res[:-cnt]
+                x = up_block(i, x, e, mine)
+            return x
         assert stage == "full", f"unknown stage {stage}"
 
         # ---- full forward ----

@@ -18,6 +18,54 @@ def test_segmented_matches_full():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_segmented_core_merges_match_full():
+    """The deeper chain merges (RuntimeConfig.segment_merge_core
+    'down_mid' / 'full_core') are numerically identical to the full
+    forward and the default chain."""
+    import dataclasses
+    b = make_toy_bundle()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 12))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 16))
+    t = jnp.float32(500.0)
+    full = b.apply_unet(x, t, ctx)
+    for core in ("down_mid", "full_core"):
+        bc = dataclasses.replace(
+            b, runtime=dataclasses.replace(b.runtime,
+                                           segment_merge_core=core))
+        seg = bc.apply_unet_segmented(x, t, ctx)
+        np.testing.assert_allclose(np.asarray(seg), np.asarray(full),
+                                   atol=2e-5, rtol=1e-4, err_msg=core)
+
+
+def test_segmented_core_merge_controlnet_fallback():
+    """Under ControlNet residuals the core merges must fall back to the
+    unmerged chain (injection happens between down and mid) and still equal
+    the full forward."""
+    import dataclasses
+    b = make_toy_bundle(xl=True, controlnet="canny")
+    b = dataclasses.replace(
+        b, runtime=dataclasses.replace(b.runtime,
+                                       segment_merge_core="full_core"))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 40))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (1, 24))
+    tids = jnp.asarray([[32., 32., 0., 0., 32., 32.]])
+    cond = jnp.zeros((1, 3, 16, 16))
+    down, mid = b.apply_controlnet(x, jnp.float32(500.0), ctx, cond,
+                                   added_text_embeds=pooled,
+                                   added_time_ids=tids)
+    full = b.apply_unet(x, jnp.float32(500.0), ctx, added_text_embeds=pooled,
+                        added_time_ids=tids, down_block_residuals=down,
+                        mid_block_residual=mid)
+    seg = b.apply_unet_segmented(x, jnp.float32(500.0), ctx,
+                                 added_text_embeds=pooled,
+                                 added_time_ids=tids,
+                                 down_block_residuals=down,
+                                 mid_block_residual=mid)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(full),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_segmented_xl_with_controlnet_residuals():
     b = make_toy_bundle(xl=True, controlnet="canny")
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
