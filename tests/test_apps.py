@@ -40,6 +40,28 @@ def test_cli_defaults_match_reference():
     assert opt2.repaint_sampling is False
 
 
+def test_cli_save_outputs_contract(tmp_path):
+    """The run-directory contract (/root/reference/elastic_diffusion.py:
+    1194-1210): results_log/<exp>/<timestamp>_<seed>/ with numbered PNGs,
+    image_log entries (flat and nested dicts), and args.txt metadata."""
+    from PIL import Image
+    from elasticdiffusion_tpu.apps.cli import build_parser, save_outputs
+    opt = build_parser().parse_args(
+        ["--outdir", str(tmp_path), "--exp", "exp1", "--seed", "42"])
+    img = Image.new("RGB", (8, 8), (255, 0, 0))
+    log = {"global_img": img, "inter_x0": {"t500": img, "t250": img}}
+    save_dir = save_outputs(opt, [img, img], log)
+
+    assert save_dir.startswith(str(tmp_path / "exp1"))
+    assert save_dir.endswith("_42")
+    import os
+    files = set(os.listdir(save_dir))
+    assert {"0.png", "1.png", "global_img.png", "inter_x0_t500.png",
+            "inter_x0_t250.png", "args.txt"} <= files
+    args_txt = open(os.path.join(save_dir, "args.txt")).read()
+    assert "seed: 42" in args_txt and "exp: exp1" in args_txt
+
+
 def test_canny_edges():
     from elasticdiffusion_tpu.apps.preprocessors import canny
     img = np.zeros((32, 32), np.uint8)
