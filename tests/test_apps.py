@@ -40,6 +40,32 @@ def test_cli_defaults_match_reference():
     assert opt2.repaint_sampling is False
 
 
+def test_gradio_example_table_matches_reference_hparams():
+    """The Gradio example table is the reference's de-facto per-resolution
+    hyper-parameter guide (/root/reference/app_gradio.py:107-121). Prompts
+    differ deliberately; the (W, H) -> (resampling_steps, keep_p, rrg)
+    mapping must agree with the genuine reference table for every
+    resolution we ship."""
+    import re
+    from elasticdiffusion_tpu.apps.gradio_app import EXAMPLES
+
+    src = open("/root/reference/app_gradio.py").read()
+    ref = {}
+    # rows look like: ["prompt", "negative", W, H, rs, keep_p, rrg, None, ...
+    for m in re.finditer(
+            r'\[".*?",\s*".*?",\s*(\d+),\s*(\d+),\s*(\d+),\s*([\d.]+),'
+            r'\s*(\d+),\s*None', src):
+        w, h, rs, keep_p, rrg = m.groups()
+        ref[(int(w), int(h))] = (int(rs), float(keep_p), int(rrg))
+    assert len(ref) >= 10, f"reference table parse failed: {len(ref)} rows"
+
+    for row in EXAMPLES:
+        w, h, rs, keep_p, rrg = row[2], row[3], row[4], row[5], row[6]
+        if (w, h) in ref:
+            assert ref[(w, h)] == (rs, keep_p, rrg), (
+                f"{(w, h)}: ours {(rs, keep_p, rrg)} != ref {ref[(w, h)]}")
+
+
 def test_cli_save_outputs_contract(tmp_path):
     """The run-directory contract (/root/reference/elastic_diffusion.py:
     1194-1210): results_log/<exp>/<timestamp>_<seed>/ with numbered PNGs,
