@@ -64,8 +64,11 @@ def main():
     png = f"artifacts/e2e_{tag}_{H}x{W}_randweights.png"
 
     t0 = time.time()
-    runtime = RuntimeConfig(param_dtype=jnp.bfloat16,
-                            compute_dtype=jnp.bfloat16, use_pallas="auto")
+    runtime = RuntimeConfig(
+        param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        use_pallas="auto",
+        # A/B hook for the chain-merge experiment (off by default)
+        segment_merge_core=os.environ.get("ED_SEGMENT_MERGE_CORE", "off"))
     pipe = ElasticDiffusion(
         sd_version=sd_version, runtime=runtime,
         controlnet_model="canny" if controlnet else None)
