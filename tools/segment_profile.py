@@ -33,8 +33,10 @@ def main():
     batches = [int(x) for x in
                os.environ.get("ED_PROF_BATCHES", "16,4").split(",")]
     reps = int(os.environ.get("ED_PROF_REPS", "3"))
-    runtime = RuntimeConfig(param_dtype=jnp.bfloat16,
-                            compute_dtype=jnp.bfloat16, use_pallas="auto")
+    runtime = RuntimeConfig(
+        param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        use_pallas="auto",
+        segment_merge_core=os.environ.get("ED_SEGMENT_MERGE_CORE", "off"))
     b = load_bundle("XL1.0", runtime=runtime)
     s = b.sample_size
     result = {"backend": jax.default_backend(), "sample_size": s,
@@ -81,6 +83,10 @@ def main():
                                       [f"down_{i}" for i in range(k + 1)])
             sc[f"tail_{k}"] = _merge(["out"] +
                                      [f"up_{i}" for i in range(k + 1)])
+            deep = [f"down_{i}" for i in range(k + 1, n_blocks)] + ["mid"]
+            sc[f"downmid_{k}"] = _merge(deep)
+            sc[f"core_{k}"] = _merge(
+                deep + [f"up_{i}" for i in range(k + 1, n_blocks)])
         stage_tflops = {
             k: round(bs * sc[k]["flops"] / v / 1e12, 1)
             for k, v in timings.items() if k in sc and v > 0}
