@@ -226,8 +226,10 @@ def main():
         param_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas="auto",
-        # A/B hook for the chain-merge experiment (off by default)
-        segment_merge_core=os.environ.get("ED_SEGMENT_MERGE_CORE", "off"))
+        # A/B hook for the chain-merge experiment (default full_core — the
+        # on-chip winner; see configs.RuntimeConfig.segment_merge_core)
+        segment_merge_core=os.environ.get("ED_SEGMENT_MERGE_CORE",
+                                          "full_core"))
 
     if preset == "sdxl" and on_tpu:
         sd_version, height, width = "XL1.0", 1024, 2048

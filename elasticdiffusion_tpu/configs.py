@@ -301,10 +301,12 @@ class RuntimeConfig:
     # deeper chain merges on top of segment_merge (dispatch-overhead lever;
     # numerically identical, falls back to the unmerged chain under
     # ControlNet): 'off' | 'down_mid' (deep down blocks + mid as one
-    # program) | 'full_core' (down+mid+up twins as one program — largest
-    # program, may exceed what the remote compile service can build at XL
-    # scale; measure before defaulting).
-    segment_merge_core: str = "off"
+    # program) | 'full_core' (down+mid+up twins as one program). Measured
+    # on the v5e chip at the production SDXL batches (tools/segment_profile,
+    # round 3): full_core beats 'off' by 5.2% at batch 20 and 9.6% at batch
+    # 6, compiles fine (~160 s remote), hence the default; set 'off' if a
+    # different XL-scale topology overwhelms the compile service.
+    segment_merge_core: str = "full_core"
 
 
 @dataclass(frozen=True)

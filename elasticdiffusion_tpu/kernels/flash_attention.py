@@ -20,8 +20,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+# Swept on the v5e chip at the production shapes (tools/flash_tune.py,
+# artifacts/FLASH_TUNE.json): 512/1024 beats the prior 256/512 at every
+# measurable shape — S=4096 D=64 (SDXL down_1/up_1) 24.3 -> 12.9 ms,
+# VAE mid S=65536 D=512 60.3 -> 49.2 ms; larger blocks fail to compile
+# (VMEM) or sit below tunnel timing noise.
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,

@@ -67,8 +67,10 @@ def main():
     runtime = RuntimeConfig(
         param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
         use_pallas="auto",
-        # A/B hook for the chain-merge experiment (off by default)
-        segment_merge_core=os.environ.get("ED_SEGMENT_MERGE_CORE", "off"))
+        # A/B hook for the chain-merge experiment (default full_core — the
+        # on-chip winner; see configs.RuntimeConfig.segment_merge_core)
+        segment_merge_core=os.environ.get("ED_SEGMENT_MERGE_CORE",
+                                          "full_core"))
     pipe = ElasticDiffusion(
         sd_version=sd_version, runtime=runtime,
         controlnet_model="canny" if controlnet else None)

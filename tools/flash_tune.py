@@ -33,8 +33,10 @@ SHAPES = [
     ("vae_mid_s65536_d512_b1", 1, 65536, 512),
 ]
 
-BLOCKS_Q = (128, 256, 512)
-BLOCKS_K = (256, 512, 1024)
+BLOCKS_Q = tuple(int(x) for x in os.environ.get(
+    "ED_TUNE_BQ", "128,256,512").split(","))
+BLOCKS_K = tuple(int(x) for x in os.environ.get(
+    "ED_TUNE_BK", "256,512,1024").split(","))
 
 
 def main():
@@ -44,8 +46,10 @@ def main():
     from elasticdiffusion_tpu.kernels.flash_attention import flash_attention
 
     reps = int(os.environ.get("ED_TUNE_REPS", "5"))
+    only = os.environ.get("ED_TUNE_SHAPES")
+    shapes = [sh for sh in SHAPES if only is None or sh[0] in only.split(",")]
     results = {}
-    for label, bh, s, d in SHAPES:
+    for label, bh, s, d in shapes:
         q = jax.random.normal(jax.random.PRNGKey(0), (1, s, bh, d),
                               jnp.bfloat16)
         k = jax.random.normal(jax.random.PRNGKey(1), (1, s, bh, d),
