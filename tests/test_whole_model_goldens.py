@@ -370,6 +370,20 @@ def test_sdxl_topology_unet_vs_torch():
     _run_unet_golden(cfg, lat_hw=16, seed=11, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_full_sdxl_unet_vs_torch():
+    """The COMPLETE SDXL-base UNet architecture (2.57B params) — full width
+    (320/640/1280), real head counts (5,10,20 -> D=64), depth-10 deep stack,
+    2048-dim cross-attention, text_time micro-conditioning — whole-model
+    through the real converter. The flagship config the reference loads for
+    sd_version 'XL1.0' (/root/reference/elastic_diffusion.py:134-138);
+    test_sdxl_topology_unet_vs_torch covers the same wiring at reduced
+    width, this covers the real tensor shapes end-to-end (~10 GB of fp32
+    params on each side; several minutes on one CPU core)."""
+    from elasticdiffusion_tpu.configs import UNET_SDXL
+    _run_unet_golden(UNET_SDXL, lat_hw=32, seed=20, atol=1e-3)
+
+
 class TorchControlNet(tnn.Module):
     """Full ControlNetModel mirror (diffusers state_dict naming): the UNet's
     down+mid twin plus controlnet_cond_embedding and per-residual zero convs
