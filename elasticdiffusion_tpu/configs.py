@@ -301,7 +301,9 @@ class RuntimeConfig:
     # deeper chain merges on top of segment_merge (dispatch-overhead lever;
     # numerically identical, falls back to the unmerged chain under
     # ControlNet): 'off' | 'down_mid' (deep down blocks + mid as one
-    # program) | 'full_core' (down+mid+up twins as one program). Measured
+    # program) | 'full_core' (down+mid+up twins as one program) | 'mono'
+    # (the WHOLE forward as one program — zero inter-stage dispatch gaps,
+    # largest single compile; A/B with tools/segment_profile.py). Measured
     # on the v5e chip at the production SDXL batches (tools/segment_profile,
     # round 3): full_core beats 'off' by 5.2% at batch 20 and 9.6% at batch
     # 6, compiles fine (~160 s remote), hence the default; set 'off' if a

@@ -117,6 +117,20 @@ class GroupNorm32(nn.Module):
         from elasticdiffusion_tpu.kernels.attention import _use_pallas
         pallas = (_use_pallas(self.use_pallas) and x.ndim == 4
                   and groups == self.num_groups)
+        if pallas:
+            # Shape-aware dispatch, slope-calibrated on the v5e chip
+            # (artifacts/RATE_PROBE2.json): at UNet activation sizes the
+            # XLA-fused manual formula streams at ~690 GB/s vs the Pallas
+            # two-kernel's ~340 GB/s (the Pallas win is its bounded VMEM
+            # at VAE-decode sizes, S >= 256^2, where the fp32 upcast
+            # round-trip would double HBM or OOM). ED_GN_IMPL=pallas|xla
+            # overrides for A/B.
+            import os
+            impl = os.environ.get("ED_GN_IMPL", "auto")
+            if impl == "xla":
+                pallas = False
+            elif impl != "pallas":
+                pallas = x.shape[1] * x.shape[2] > 16384
         out = _ManualGroupNorm(groups, self.epsilon, pallas=pallas,
                                silu=self.silu, name="GroupNorm_0")(x)
         return out.astype(dtype)

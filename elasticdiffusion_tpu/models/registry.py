@@ -117,7 +117,16 @@ class ModelBundle:
         # the unmerged chain under ControlNet (residual injection happens
         # BETWEEN the down pass and mid, a seam these merges remove).
         core = self.runtime.segment_merge_core
-        if (core != "off" and mk >= 0 and down_block_residuals is None
+        if (core == "mono" and down_block_residuals is None
+                and mid_block_residual is None):
+            # whole forward as ONE program (stage='full'): zero inter-stage
+            # dispatch gaps; the largest compile the remote service gets
+            return ap("full")(self.unet_params, sample_nchw=latent_nchw,
+                              timesteps=t, encoder_hidden_states=context,
+                              added_text_embeds=added_text_embeds,
+                              added_time_ids=added_time_ids)
+        if (core not in ("off", "mono") and mk >= 0
+                and down_block_residuals is None
                 and mid_block_residual is None):
             h, emb, res_t = ap(f"front_{mk}")(
                 self.unet_params, sample_nchw=latent_nchw, timesteps=t,

@@ -28,7 +28,7 @@ def test_segmented_core_merges_match_full():
     ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 16))
     t = jnp.float32(500.0)
     full = b.apply_unet(x, t, ctx)
-    for core in ("down_mid", "full_core"):
+    for core in ("down_mid", "full_core", "mono"):
         bc = dataclasses.replace(
             b, runtime=dataclasses.replace(b.runtime,
                                            segment_merge_core=core))

@@ -57,9 +57,11 @@ def main():
         v = jax.random.normal(jax.random.PRNGKey(2), (1, s, bh, d),
                               jnp.bfloat16)
         flops = 4 * bh * s * s * d
-        # bare device->host sync roundtrip, subtracted from every timing —
-        # at the ~1 ms kernel shapes the tunnel roundtrip would otherwise
-        # dominate and compress the differences between block configs
+        # The tunnel's host->device->host sync roundtrip (~ms) would swamp a
+        # single sub-ms kernel, so each timing chains `inner` data-dependent
+        # kernel calls (out feeds the next q) behind ONE 1-element fetch and
+        # divides; the single remaining roundtrip is subtracted.
+        inner = max(1, int(os.environ.get("ED_TUNE_INNER", "8")))
         float(q[0, 0, 0, 0])
         t0 = time.time()
         for _ in range(4):
@@ -75,10 +77,13 @@ def main():
                 times = []
                 for _ in range(reps):
                     t0 = time.time()
-                    out = flash_attention(q, k, v, block_q=bq, block_k=bk)
+                    out = q
+                    for _ in range(inner):
+                        out = flash_attention(out, k, v, block_q=bq,
+                                              block_k=bk)
                     float(out[0, 0, 0, 0])
-                    times.append(time.time() - t0)
-                t = max(min(times) - roundtrip, 1e-9)
+                    times.append((time.time() - t0) / inner)
+                t = max(min(times) - roundtrip / inner, 1e-9)
                 tf = flops / t / 1e12
                 print(f"{label} bq={bq} bk={bk}: {t*1e3:7.2f} ms "
                       f"{tf:6.1f} TFLOP/s", flush=True)

@@ -55,6 +55,15 @@ def main():
         out = b.apply_unet_segmented(x, jnp.float32(500.0), ctx, **kw)
         jax.device_get(out.reshape(-1)[0])
         compile_s = time.time() - t0
+        # per-probe fetch roundtrip: every stage sync pays one ~35 ms tunnel
+        # RPC (slope-calibrated in artifacts/RATE_PROBE2.json fixed_ms);
+        # uncorrected it inflated r3's per-stage rates by ~20-40%
+        ready = jnp.zeros((1,))
+        float(ready[0])
+        t0 = time.time()
+        for _ in range(4):
+            float(ready[0])
+        roundtrip = (time.time() - t0) / 4
         best = None
         for _ in range(reps):
             timings = {}
@@ -65,6 +74,8 @@ def main():
             if best is None or total < best[0]:
                 best = (total, timings)
         total, timings = best
+        timings = {k: max(v - roundtrip, 1e-9) for k, v in timings.items()}
+        total = max(total - roundtrip * len(timings), 1e-9)
 
         # achieved MXU rate + roofline floor per stage (utils/flops.py;
         # v5e peaks ~197 bf16 TFLOP/s, ~819 GB/s HBM): compute-bound stages
@@ -101,6 +112,7 @@ def main():
                           *(f"up_{i}" for i in range(n_blocks)))) / 1e12
 
         result["per_batch"][str(bs)] = {
+            "probe_roundtrip_ms_subtracted": round(roundtrip * 1e3, 1),
             "compile_seconds": round(compile_s, 1),
             "total_seconds": round(total, 4),
             "per_forward_seconds": round(total / bs, 4),
