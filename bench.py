@@ -229,7 +229,9 @@ def main():
         # A/B hook for the chain-merge experiment (default full_core — the
         # on-chip winner; see configs.RuntimeConfig.segment_merge_core)
         segment_merge_core=os.environ.get("ED_SEGMENT_MERGE_CORE",
-                                          "full_core"))
+                                          "full_core"),
+        # A/B hook for whole-phase fusion (pre+UNet+post as one program)
+        segment_phase_fuse=os.environ.get("ED_SEGMENT_PHASE_FUSE", "off"))
 
     if preset == "sdxl" and on_tpu:
         sd_version, height, width = "XL1.0", 1024, 2048

@@ -309,6 +309,15 @@ class RuntimeConfig:
     # 6, compiles fine (~160 s remote), hence the default; set 'off' if a
     # different XL-scale topology overwhelms the compile service.
     segment_merge_core: str = "full_core"
+    # fuse each estimate PHASE of the segmented step — pre-glue (resample
+    # gathers, background pad, view gather, mesh pad/shard), the whole merged
+    # UNet batch, and post-glue (CFG fills, owner-map scatter) — into ONE
+    # jitted program: 'off' | 'on'. Subsumes every chain merge (inner jitted
+    # stages inline under the outer trace), removing all inter-program
+    # dispatch gaps and letting XLA fuse the glue into the UNet's first/last
+    # ops. The biggest single compile the remote service gets; numerically
+    # identical (tested) — flip on after an on-chip A/B at your topology.
+    segment_phase_fuse: str = "off"
 
 
 @dataclass(frozen=True)

@@ -110,13 +110,14 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                 added_time_ids=added_time_ids)
         _cn_jit = jax.jit(_cn_fwd)
 
-    def _unet(x_in, t, ctx, pooled, tids, cn_cond):
+    def _unet(x_in, t, ctx, pooled, tids, cn_cond, cn_scale=None):
         kwargs = {}
         if pooled is not None:
             kwargs = {"added_text_embeds": pooled, "added_time_ids": tids}
         if cn_cond is not None:
+            scale = cstate["cn_scale"] if cn_scale is None else cn_scale
             down, mid = _cn_jit(b.controlnet_params, x_in, t, ctx, cn_cond,
-                                cstate["cn_scale"], **kwargs)
+                                scale, **kwargs)
             kwargs["down_block_residuals"] = down
             kwargs["mid_block_residual"] = mid
         return b.apply_unet_segmented(x_in, t, ctx, **kwargs)
@@ -139,9 +140,10 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
     def _sel(a, i, j):
         return None if a is None else a[i:j]
 
-    def _unet_chunked(x_in, t, ctx, ate, tid, cn, nd, n_view_rows, BB):
+    def _unet_chunked(x_in, t, ctx, ate, tid, cn, nd, n_view_rows, BB,
+                      cn_scale=None):
         if not chunk_views:
-            return _unet(x_in, t, ctx, ate, tid, cn)
+            return _unet(x_in, t, ctx, ate, tid, cn, cn_scale)
         cs = chunk_views * BB
         end = nd + n_view_rows
         outs = []
@@ -159,7 +161,8 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                     return None if a is None else jnp.concatenate(
                         [a[i:end], a[:p]])
                 args = tuple(_padc(a) for a in (x_in, ctx, ate, tid, cn))
-            outs.append(_unet(args[0], t, args[1], args[2], args[3], args[4]))
+            outs.append(_unet(args[0], t, args[1], args[2], args[3], args[4],
+                              cn_scale))
             i = j
         return jnp.concatenate(outs)
 
@@ -274,8 +277,7 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
             return pre_common(lat, jnp.asarray(picks)[:n_sub], bg_down,
                               bg_view)
 
-        @jax.jit
-        def post(eps_all, downs, masks):
+        def post_body(eps_all, downs, masks):
             """Split the merged batch: direction CFG fills + view scatter."""
             n_sub_, BB, C = downs.shape[0], downs.shape[1], downs.shape[2]
             nd = 2 * n_sub_ * BB
@@ -310,8 +312,39 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
             local = scatter_first_writer(preds, vp)
             return res, local
 
+        post = jax.jit(post_body)
+
+        # ---- phase fusion (RuntimeConfig.segment_phase_fuse) ----
+        # The whole estimate phase as ONE program: pre glue, merged UNet
+        # batch, post glue. The inner per-stage jits inline under this trace
+        # (subsuming any segment_merge/_core setting), so the phase runs with
+        # zero inter-program dispatch gaps and XLA fuses the glue into the
+        # chain's boundary ops. cn_scale rides as an operand so a cached
+        # builder re-aimed via update_conditioning never retraces.
+        def fused_body(lat, picks, bg_down, bg_view, t, ctx, ate, tid, cn,
+                       cn_scale):
+            x_in, downs, masks = pre_common(lat, picks, bg_down, bg_view)
+            BB = lat.shape[0]
+            eps_all = _unet_chunked(x_in, t, ctx, ate, tid, cn,
+                                    2 * n_sub * BB, V * BB, BB,
+                                    cn_scale=cn_scale)
+            return post_body(eps_all, downs, masks)
+
+        @jax.jit
+        def est_fused(lat, key, bg_down, bg_view, t, ctx, ate, tid, cn,
+                      cn_scale):
+            picks = resolve_resample_picks(key, n_sub, N, statics.drop_p)
+            return fused_body(lat, picks, bg_down, bg_view, t, ctx, ate, tid,
+                              cn, cn_scale)
+
+        @jax.jit
+        def est_fused_scripted(lat, picks, bg_down, bg_view, t, ctx, ate, tid,
+                               cn, cn_scale):
+            return fused_body(lat, jnp.asarray(picks)[:n_sub], bg_down,
+                              bg_view, t, ctx, ate, tid, cn, cn_scale)
+
         _dir_nsubs.append(n_sub)
-        return pre, pre_scripted, post, n_sub
+        return pre, pre_scripted, post, n_sub, est_fused, est_fused_scripted
 
     def _ddim(local, direction, lat, coeffs, g):
         pred = local + g * direction
@@ -357,11 +390,29 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
 
     debug_state: Dict[str, Any] = {}
 
+    phase_fused = getattr(pipe.runtime, "segment_phase_fuse", "off") \
+        in ("on", True)
+
     def _estimate(fns, lat, key, inp, t, picks):
-        pre, pre_scripted, post, n_sub = fns
+        pre, pre_scripted, post, n_sub, est_fused, est_fused_scripted = fns
         ctx, ate, tid, cn = cstate[("est", n_sub)]
         bg_down = inp.get("bg_down", {})
         bg_view = inp.get("bg_view", {})
+        if phase_fused:
+            # one program for the whole phase; the P('views') constraint is
+            # inside it (pre_common -> pad_and_shard_views), so the sharding
+            # evidence is the in-program constraint, not an output sharding
+            debug_state["last_unet_input_sharding"] = "fused-in-program"
+            BB = lat.shape[0]
+            debug_state["last_unet_input_batch"] = \
+                (2 * n_sub + V) * BB + view_pad_rows((2 * n_sub + V) * BB,
+                                                     mesh)
+            if picks is not None:
+                return est_fused_scripted(lat, jnp.asarray(picks), bg_down,
+                                          bg_view, t, ctx, ate, tid, cn,
+                                          cstate["cn_scale"])
+            return est_fused(lat, key, bg_down, bg_view, t, ctx, ate, tid,
+                             cn, cstate["cn_scale"])
         if picks is not None:
             x_in, downs, masks = pre_scripted(lat, jnp.asarray(picks),
                                               bg_down, bg_view)

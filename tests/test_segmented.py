@@ -88,12 +88,13 @@ def test_segmented_xl_with_controlnet_residuals():
                                atol=2e-5, rtol=1e-4)
 
 
-def _gen(bundle, segmented, **kw):
+def _gen(bundle, segmented, _rt_extra=None, **kw):
     from elasticdiffusion_tpu.configs import RuntimeConfig
     from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
     rt = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
                        use_pallas="off",
-                       segmented_step="on" if segmented else "off")
+                       segmented_step="on" if segmented else "off",
+                       **(_rt_extra or {}))
     pipe = ElasticDiffusion(bundle=bundle, runtime=rt)
     pipe.seed_everything(7)
     arr, log = pipe.generate_image(return_arrays=True, **kw)
@@ -230,6 +231,37 @@ def test_segmented_chunked_controlnet_matches_whole():
     c, _ = chunked.generate_image(**kw)
 
     np.testing.assert_allclose(c, a, atol=5e-5, rtol=1e-4)
+
+
+def test_segmented_phase_fuse_matches_unfused():
+    """segment_phase_fuse='on' (the whole estimate phase — pre glue, merged
+    UNet batch, post glue — as ONE jitted program) must reproduce the
+    unfused segmented step draw-for-draw, repaint and RRG included."""
+    b = make_toy_bundle()
+    kw = dict(prompts="a cat", height=32, width=48, num_inference_steps=2,
+              guidance_scale=7.5, resampling_steps=2, new_p=0.3,
+              rrg_init_weight=1000, rrg_stop_t=0.0, repaint_sampling=True)
+    plain, _ = _gen(b, segmented=True, **kw)
+    fused, m = _gen(b, segmented=True,
+                    _rt_extra={"segment_phase_fuse": "on"}, **kw)
+    assert m["segmented"]
+    np.testing.assert_allclose(fused, plain, atol=5e-5, rtol=1e-4)
+
+
+def test_segmented_phase_fuse_controlnet_batch2():
+    """Phase fusion with ControlNet conditions and a B=2 prompt batch: the
+    condition rows and cn_scale ride through the single-program phase."""
+    b = make_toy_bundle(xl=True, controlnet="canny")
+    cond = np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+    kw = dict(prompts=["a cat", "a dog"], height=32, width=32,
+              num_inference_steps=2, guidance_scale=7.5, resampling_steps=1,
+              new_p=0.3, rrg_init_weight=0, repaint_sampling=True,
+              condition_image=cond, controlnet_conditioning_scale=0.5)
+    plain, _ = _gen(b, segmented=True, **kw)
+    fused, m = _gen(b, segmented=True,
+                    _rt_extra={"segment_phase_fuse": "on"}, **kw)
+    assert m["segmented"]
+    np.testing.assert_allclose(fused, plain, atol=5e-5, rtol=1e-4)
 
 
 def test_segmented_scripted_matches_fused():
