@@ -259,12 +259,20 @@ def main():
     per_fwd, V, compile_s, extras = bench_fn(pipe, height, width, rs, n_measure)
     _log(f"measured: per_fwd={per_fwd:.4f}s V={V} compile={compile_s:.0f}s")
 
-    # the metric is sec/IMAGE: denoise + decode (r2 excluded decode)
+    # the metric is sec/IMAGE: denoise + decode (r2 excluded decode). A
+    # failed decode sub-measurement must be LOUD in the artifact (r3's
+    # silently reported decode_seconds=0.0 while the metric still claimed
+    # sec/image): the JSON carries decode_failed/decode_error, and the
+    # projection basis is annotated as denoise-only.
+    decode_failed = None
     try:
         decode_s = measure_decode(pipe, height, width)
     except Exception as e:
-        _log(f"decode measurement failed ({type(e).__name__}: {e}); "
-             "reporting denoise-only")
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        decode_failed = f"{type(e).__name__}: {e}"
+        _log(f"decode measurement FAILED ({decode_failed}); the reported "
+             "value is DENOISE-ONLY and under-counts sec/image")
         decode_s = 0.0
 
     fwd_per_step = _cost_model(rs, V)
@@ -303,6 +311,13 @@ def main():
     if "projected_v5e8_denoise_sec_per_image" in extras:
         extras["projected_v5e8_sec_per_image"] = round(
             extras["projected_v5e8_denoise_sec_per_image"] + decode_s / 8, 1)
+    if decode_failed is not None:
+        extras["decode_failed"] = True
+        extras["decode_error"] = decode_failed
+        if "projection_basis" in extras:
+            extras["projection_basis"] += (
+                " [decode measurement FAILED: value and projection are "
+                "DENOISE-ONLY]")
 
     north_star_chip_seconds = 20.0 * 8  # <20 s on v5e-8
     result = {

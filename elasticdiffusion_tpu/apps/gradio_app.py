@@ -13,14 +13,28 @@ import time
 
 # (prompt, negative, W, H, resampling_steps, keep_p, rrg_scale, cfg,
 #  cosine_scale, view_batch_size, steps, patch_size, seed, low_vram, tiled)
+# Row-for-row the reference's 14 curated per-resolution configs
+# (/root/reference/app_gradio.py:107-121): same (W, H) -> (resampling_steps,
+# keep_p, rrg_scale) table including every extreme aspect ratio (4:1 and
+# 16:9 both orientations); prompts are our own. Columns the reference
+# leaves as None take the widget defaults here (cfg 10, cosine 10, vbs 16,
+# 50 steps; tiled decode on for the 2048^2 flagship).
+_NEG = "blurry, ugly, duplicate, low quality"
 EXAMPLES = [
-    ["A cute cat sitting on a couch, high resolution photo", "blurry, ugly, duplicate, low quality", 2048, 2048, 10, 0.3, 2000, 10, 10, 16, 50, None, 0, False, True],
-    ["An astronaut riding a horse on mars, artstation", "blurry, ugly, duplicate, low quality", 1536, 1536, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
-    ["A panoramic photo of a mountain lake at sunrise", "blurry, ugly, duplicate, low quality", 2048, 1024, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
-    ["A fantasy castle floating in the clouds", "blurry, ugly, duplicate, low quality", 1024, 2048, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
-    ["A detailed oil painting of a harbor town", "blurry, ugly, duplicate, low quality", 2048, 1536, 10, 0.3, 1500, 10, 10, 16, 50, None, 0, False, False],
+    ["A cute cat sitting on a couch, high resolution photo", _NEG, 2048, 2048, 10, 0.3, 2000, 10, 10, 16, 50, None, 0, False, True],
+    ["An astronaut riding a horse on mars, artstation", _NEG, 1536, 1536, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
+    ["A fantasy castle floating in the clouds", _NEG, 1024, 2048, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
+    ["A panoramic photo of a mountain lake at sunrise", _NEG, 2048, 1024, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
+    ["A lighthouse on a rocky cliff in a storm, dramatic light", _NEG, 1080, 1920, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
+    ["A cinematic still of a desert highway at dusk", _NEG, 1920, 1080, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
+    ["A detailed oil painting of a harbor town", _NEG, 2048, 1536, 10, 0.3, 1500, 10, 10, 16, 50, None, 0, False, False],
+    ["A watercolor of a terraced tea plantation in the mist", _NEG, 1536, 2048, 10, 0.3, 1500, 10, 10, 16, 50, None, 0, False, False],
+    ["A tall waterfall in a mossy canyon, long exposure", _NEG, 768, 2048, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
+    ["A wide shot of a train crossing an autumn valley", _NEG, 2048, 768, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
     ["A portrait of a golden retriever wearing glasses", "blurry, ugly, duplicate", 768, 768, 0, 0.3, 0, 10, 10, 16, 50, None, 0, False, False],
     ["A bowl of ramen, studio lighting", "blurry, ugly, duplicate", 512, 512, 0, 0.3, 0, 10, 10, 16, 50, None, 0, False, False],
+    ["An ultrawide mountain ridgeline panorama at golden hour", _NEG, 2048, 512, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
+    ["A skyscraper facade from street level, looking straight up", _NEG, 512, 2048, 7, 0.3, 1000, 10, 10, 16, 50, None, 0, False, False],
 ]
 
 

@@ -409,13 +409,18 @@ def _halo_decode_impl(bundle, latents_nchw, mesh: Optional[Mesh],
         # OOM: on the remote backend a failed program's allocations are never
         # released, so every subsequent decode in the process OOMs too
         # (observed: mono OOM at 2048^2 poisoned 4..256-band retries that all
-        # succeed in a fresh process). Budget: 1024x2048 output monolithic
-        # decode measured to fit WITH the SD-scale UNet resident; above that,
-        # use the EXACT streamed stage B (full tensors in HBM, chunked
-        # compute — see _stage_b_streamed_jit).
-        # budget calibrated at B=1; the working set scales with batch
+        # succeed in a fresh process). Above the budget, use the EXACT
+        # streamed stage B (full tensors in HBM, chunked compute — see
+        # _stage_b_streamed_jit).
+        # Budget history: 2.2e6 was calibrated with only the UNet resident;
+        # the round-3 bench showed 1024x2048 output (2.097e6 px, just under
+        # it) failing with the denoise step's arrays ALSO resident — the
+        # production situation. 1.5e6 keeps 1024x1024 (1.05e6) monolithic
+        # and routes anything bigger through the streamed path, which is
+        # exact and measured to run next to the full XL bundle at 2048^2.
+        # Budget calibrated at B=1; the working set scales with batch.
         out_px = latents_nchw.shape[0] * (H * vsf) * (W * vsf)
-        MAX_PX = 2.2e6
+        MAX_PX = 1.5e6
         if streamed or (streamed is None and out_px > MAX_PX):
             out = _stage_b_streamed_jit(hidden, dec, cfg)
             return jnp.transpose(out, (0, 3, 1, 2))

@@ -59,11 +59,18 @@ def test_gradio_example_table_matches_reference_hparams():
         ref[(int(w), int(h))] = (int(rs), float(keep_p), int(rrg))
     assert len(ref) >= 10, f"reference table parse failed: {len(ref)} rows"
 
+    ours = {}
     for row in EXAMPLES:
         w, h, rs, keep_p, rrg = row[2], row[3], row[4], row[5], row[6]
+        ours[(w, h)] = (rs, keep_p, rrg)
         if (w, h) in ref:
             assert ref[(w, h)] == (rs, keep_p, rrg), (
                 f"{(w, h)}: ours {(rs, keep_p, rrg)} != ref {ref[(w, h)]}")
+    # row-for-row coverage: every reference resolution (incl. the extreme
+    # aspect ratios 2048x512, 512x2048, 1080x1920, ...) must be shipped
+    missing = sorted(set(ref) - set(ours))
+    assert not missing, f"reference example rows missing from ours: {missing}"
+    assert len(EXAMPLES) == 14
 
 
 def test_cli_save_outputs_contract(tmp_path):

@@ -70,6 +70,23 @@ def test_generate_image_elastic(pipe):
     assert m["unet_view_forwards"] == 3 * (2 * 3 + V) + 2 * (2 + V)
 
 
+def test_generate_image_extreme_aspect_ratio(pipe):
+    """4:1 aspect ratio, the reference example table's 2048x512 class
+    (/root/reference/app_gradio.py:119-120) scaled to the toy bundle:
+    W = 2x native, H = native/2. The short axis collapses to one view and
+    sits BELOW the model minimum (background padding engages) while the
+    long axis fans out — the geometry the extreme-AR examples stress."""
+    pipe.seed_everything(0)
+    for h, w in [(8, 32), (32, 8)]:
+        arr, _ = pipe.generate_image(
+            "a cat", height=h, width=w, num_inference_steps=2,
+            guidance_scale=7.5, resampling_steps=2, new_p=0.3,
+            rrg_init_weight=1000, rrg_stop_t=0.0, repaint_sampling=True,
+            return_arrays=True)
+        assert arr.shape == (1, 3, h, w)
+        assert np.isfinite(arr).all()
+
+
 def test_seed_determinism(pipe):
     pipe.seed_everything(123)
     a, _ = pipe.generate_image("a cat", height=16, width=16,

