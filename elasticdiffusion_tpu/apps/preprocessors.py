@@ -57,33 +57,69 @@ def default_depth_fn() -> Callable:
     return _builtin_depth_fn
 
 
-def canny(image: np.ndarray, low: float = 100.0, high: float = 200.0) -> np.ndarray:
-    """cv2.Canny-equivalent edges. image: (H, W) or (H, W, 3) uint8/float.
-    Returns (H, W) uint8 edge map {0, 255}."""
-    img = np.asarray(image, dtype=np.float32)
-    if img.ndim == 3:
-        # cv2 BGR->gray weights; inputs here are RGB so use RGB weights
-        img = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
-    H, W = img.shape
-    p = np.pad(img, 1, mode="edge")
-    # 3x3 Sobel
+def _sobel3(img2d: np.ndarray):
+    """3x3 Sobel with replicate border (cv2.Canny's Sobel call)."""
+    p = np.pad(img2d, 1, mode="edge")
     gx = (p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:]
           - p[:-2, :-2] - 2 * p[1:-1, :-2] - p[2:, :-2])
     gy = (p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:]
           - p[:-2, :-2] - 2 * p[:-2, 1:-1] - p[:-2, 2:])
+    return gx, gy
+
+
+def canny(image: np.ndarray, low: float = 100.0, high: float = 200.0) -> np.ndarray:
+    """cv2.Canny-exact edges (apertureSize=3, L2gradient=False defaults —
+    the reference's call, /root/reference/elastic_diffusion_w_controlnet.py
+    :1106). image: (H, W) or (H, W, C) uint8/float. Returns (H, W) uint8
+    edge map {0, 255}.
+
+    Semantics transcribed from OpenCV canny.cpp:
+      - Sobel 3x3 with replicate border; L1 magnitude |gx| + |gy|
+      - multi-channel input: per PIXEL, the channel with the largest
+        magnitude supplies (gx, gy) — cv2 does NOT gray-convert
+      - NMS sector split by |gy| vs |gx|*tan22.5 / *tan67.5, with cv2's
+        asymmetric tie-breaks: horizontal 'm > left && m >= right',
+        vertical 'm > up && m >= down', diagonals strict both sides —
+        so a 2px-wide magnitude plateau yields a 1px edge, not 2px
+      - magnitude map zero-padded at the NMS border (border pixels compare
+        against 0, they are not excluded)
+      - double threshold strict: strong m > high, candidate m > low;
+        8-connected hysteresis from strong pixels
+    Hand-derived goldens in tests/test_apps.py test_canny_cv2_goldens pin
+    each of these behaviors."""
+    img = np.asarray(image, dtype=np.float32)
+    if img.ndim == 3:
+        # cv2 multi-channel: per-pixel max-magnitude channel wins (strict >,
+        # ties keep the lowest channel index)
+        gxc = np.empty(img.shape, np.float32)
+        gyc = np.empty(img.shape, np.float32)
+        for c in range(img.shape[-1]):
+            gxc[..., c], gyc[..., c] = _sobel3(img[..., c])
+        magc = np.abs(gxc) + np.abs(gyc)
+        pick = np.argmax(magc, axis=-1)
+        gx = np.take_along_axis(gxc, pick[..., None], axis=-1)[..., 0]
+        gy = np.take_along_axis(gyc, pick[..., None], axis=-1)[..., 0]
+    else:
+        gx, gy = _sobel3(img)
+    H, W = gx.shape
     mag = np.abs(gx) + np.abs(gy)  # cv2 default L1
 
-    # non-maximum suppression over 4 quantized directions
-    angle = np.arctan2(gy, gx)
-    angle = np.rad2deg(angle) % 180
-    q = np.zeros_like(mag, dtype=np.int8)
-    q[(angle >= 22.5) & (angle < 67.5)] = 1    # diag /
-    q[(angle >= 67.5) & (angle < 112.5)] = 2   # vertical
-    q[(angle >= 112.5) & (angle < 157.5)] = 3  # diag \
-    mp = np.pad(mag, 1)
-    n1 = np.choose(q, [mp[1:-1, 2:], mp[:-2, 2:], mp[:-2, 1:-1], mp[:-2, :-2]])
-    n2 = np.choose(q, [mp[1:-1, :-2], mp[2:, :-2], mp[2:, 1:-1], mp[2:, 2:]])
-    keep = (mag >= n1) & (mag >= n2)
+    # non-maximum suppression, cv2 sector rules + tie-breaks
+    mp = np.pad(mag, 1)  # zero border, as cv2's map
+    left, right = mp[1:-1, :-2], mp[1:-1, 2:]
+    up, down = mp[:-2, 1:-1], mp[2:, 1:-1]
+    ul, ur = mp[:-2, :-2], mp[:-2, 2:]
+    dl, dr = mp[2:, :-2], mp[2:, 2:]
+    ax, ay = np.abs(gx), np.abs(gy)
+    TG22 = 0.4142135623730951           # tan(22.5 deg)
+    horiz = ay < ax * TG22
+    vert = ay > ax * (TG22 + 2.0)       # tan(67.5) = tan(22.5) + 2
+    same_sign = (gx * gy) >= 0          # s = +1 in cv2's (xs ^ ys) test
+    keep = np.where(
+        horiz, (mag > left) & (mag >= right),
+        np.where(vert, (mag > up) & (mag >= down),
+                 np.where(same_sign, (mag > ul) & (mag > dr),
+                          (mag > ur) & (mag > dl))))
 
     strong = keep & (mag > high)
     weak = keep & (mag > low) & ~strong

@@ -110,17 +110,24 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                 added_time_ids=added_time_ids)
         _cn_jit = jax.jit(_cn_fwd)
 
-    def _unet(x_in, t, ctx, pooled, tids, cn_cond, cn_scale=None):
+    def _unet(x_in, t, ctx, pooled, tids, cn_cond, cn_scale=None,
+              unet_params=None, cn_params=None):
+        # unet_params/cn_params: explicit operand threading for OUTER jitted
+        # callers (est_fused) — without it the fused trace captures the full
+        # SD-scale weight trees as closure constants, inflating trace/compile
+        # cost on the biggest program the compile service gets (ADVICE r3)
         kwargs = {}
         if pooled is not None:
             kwargs = {"added_text_embeds": pooled, "added_time_ids": tids}
         if cn_cond is not None:
             scale = cstate["cn_scale"] if cn_scale is None else cn_scale
-            down, mid = _cn_jit(b.controlnet_params, x_in, t, ctx, cn_cond,
-                                scale, **kwargs)
+            down, mid = _cn_jit(
+                b.controlnet_params if cn_params is None else cn_params,
+                x_in, t, ctx, cn_cond, scale, **kwargs)
             kwargs["down_block_residuals"] = down
             kwargs["mid_block_residual"] = mid
-        return b.apply_unet_segmented(x_in, t, ctx, **kwargs)
+        return b.apply_unet_segmented(x_in, t, ctx, params=unet_params,
+                                      **kwargs)
 
     # view_batch_size as the segmented path's memory knob (the reference's
     # view-chunk loop, /root/reference/elastic_diffusion.py:830-831): when it
@@ -146,9 +153,10 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         return None if a is None else a[i:j]
 
     def _unet_chunked(x_in, t, ctx, ate, tid, cn, nd, n_view_rows, BB,
-                      cn_scale=None):
+                      cn_scale=None, unet_params=None, cn_params=None):
         if not chunk_views:
-            return _unet(x_in, t, ctx, ate, tid, cn, cn_scale)
+            return _unet(x_in, t, ctx, ate, tid, cn, cn_scale,
+                         unet_params=unet_params, cn_params=cn_params)
         cs = chunk_views * BB
         end = nd + n_view_rows
 
@@ -160,8 +168,11 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                 ate_ = None if ate_ is None else pad_rows_to_mesh(ate_, mesh)
                 tid_ = None if tid_ is None else pad_rows_to_mesh(tid_, mesh)
                 cn_ = None if cn_ is None else pad_rows_to_mesh(cn_, mesh)
-                return _unet(x_, t, ctx_, ate_, tid_, cn_, cn_scale)[:rows]
-            return _unet(x_, t, ctx_, ate_, tid_, cn_, cn_scale)
+                return _unet(x_, t, ctx_, ate_, tid_, cn_, cn_scale,
+                             unet_params=unet_params,
+                             cn_params=cn_params)[:rows]
+            return _unet(x_, t, ctx_, ate_, tid_, cn_, cn_scale,
+                         unet_params=unet_params, cn_params=cn_params)
 
         outs = []
         i = 0
@@ -338,26 +349,33 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         # chain's boundary ops. cn_scale rides as an operand so a cached
         # builder re-aimed via update_conditioning never retraces.
         def fused_body(lat, picks, bg_down, bg_view, t, ctx, ate, tid, cn,
-                       cn_scale):
+                       cn_scale, unet_params, cn_params):
             x_in, downs, masks = pre_common(lat, picks, bg_down, bg_view)
             BB = lat.shape[0]
             eps_all = _unet_chunked(x_in, t, ctx, ate, tid, cn,
                                     2 * n_sub * BB, V * BB, BB,
-                                    cn_scale=cn_scale)
+                                    cn_scale=cn_scale,
+                                    unet_params=unet_params,
+                                    cn_params=cn_params)
             return post_body(eps_all, downs, masks)
 
+        # unet_params/cn_params ride as explicit jit operands (not closure
+        # constants): the fused program is the largest compile the remote
+        # service gets, and baked-in SD-scale weight trees inflate its trace
+        # and preclude donation (ADVICE r3)
         @jax.jit
         def est_fused(lat, key, bg_down, bg_view, t, ctx, ate, tid, cn,
-                      cn_scale):
+                      cn_scale, unet_params, cn_params):
             picks = resolve_resample_picks(key, n_sub, N, statics.drop_p)
             return fused_body(lat, picks, bg_down, bg_view, t, ctx, ate, tid,
-                              cn, cn_scale)
+                              cn, cn_scale, unet_params, cn_params)
 
         @jax.jit
         def est_fused_scripted(lat, picks, bg_down, bg_view, t, ctx, ate, tid,
-                               cn, cn_scale):
+                               cn, cn_scale, unet_params, cn_params):
             return fused_body(lat, jnp.asarray(picks)[:n_sub], bg_down,
-                              bg_view, t, ctx, ate, tid, cn, cn_scale)
+                              bg_view, t, ctx, ate, tid, cn, cn_scale,
+                              unet_params, cn_params)
 
         _dir_nsubs.append(n_sub)
         return pre, pre_scripted, post, n_sub, est_fused, est_fused_scripted
@@ -423,12 +441,32 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
             debug_state["last_unet_input_batch"] = \
                 (2 * n_sub + V) * BB + view_pad_rows((2 * n_sub + V) * BB,
                                                      mesh)
+            fused_args = (lat,
+                          jnp.asarray(picks) if picks is not None else key,
+                          bg_down, bg_view, t, ctx, ate, tid, cn,
+                          cstate["cn_scale"], b.unet_params,
+                          b.controlnet_params)
+            if step.collect_sharding_evidence:
+                # lower the REAL fused program and extract its sharding
+                # annotations so a dryrun can assert the in-program
+                # P('views') constraint survived (the silent-replication
+                # regression class is unverifiable from outputs alone;
+                # ADVICE r3). with_sharding_constraint lowers to
+                # sdy.sharding_constraint <@mesh, [{"views"}, ...]> under
+                # Shardy, or a @Sharding custom call with an
+                # mhlo.sharding devices=[...] attr under GSPMD.
+                import re
+                fn = est_fused_scripted if picks is not None else est_fused
+                txt = fn.lower(*fused_args).as_text()
+                ann = re.findall(r'sdy\.sharding_constraint[^:]*<[^>]*>', txt)
+                ann += [a for a in
+                        re.findall(r'mhlo\.sharding = "([^"]*)"', txt)
+                        if "devices=" in a]
+                debug_state["fused_sharding_annotations"] = \
+                    [a for a in ann if "views" in a or "devices=" in a]
             if picks is not None:
-                return est_fused_scripted(lat, jnp.asarray(picks), bg_down,
-                                          bg_view, t, ctx, ate, tid, cn,
-                                          cstate["cn_scale"])
-            return est_fused(lat, key, bg_down, bg_view, t, ctx, ate, tid,
-                             cn, cstate["cn_scale"])
+                return est_fused_scripted(*fused_args)
+            return est_fused(*fused_args)
         if picks is not None:
             x_in, downs, masks = pre_scripted(lat, jnp.asarray(picks),
                                               bg_down, bg_view)
@@ -495,6 +533,7 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         return nxt, key, aux
 
     step.collect_phase_times = False
+    step.collect_sharding_evidence = False
     step.phase_times = phase_times
     step.update_conditioning = update_conditioning
     step.debug = debug_state

@@ -65,16 +65,22 @@ class ModelBundle:
     def apply_unet_segmented(self, latent_nchw, t, context,
                              added_text_embeds=None, added_time_ids=None,
                              down_block_residuals=None,
-                             mid_block_residual=None, timings=None):
+                             mid_block_residual=None, timings=None,
+                             params=None):
         """UNet forward as a chain of per-block jitted programs (see
         models/unet.py SEGMENTED EXECUTION). Numerically identical to
         apply_unet; each segment compiles independently.
 
         timings: optional dict — per-stage device-synced wall-clock is
         accumulated into it (profiling; syncing defeats pipelining, leave
-        None in production)."""
+        None in production).
+        params: optional UNet param tree override. Outer jitted callers
+        (core/segmented.py est_fused) thread the params through as explicit
+        operands so the full SD-scale weights don't become trace-time
+        closure constants of the largest program the compile service gets."""
         cfg = self.config.unet
         n = len(cfg.block_out_channels)
+        uparams = self.unet_params if params is None else params
 
         def ap(stage):
             def f(params, **kw):
@@ -121,7 +127,7 @@ class ModelBundle:
                 and mid_block_residual is None):
             # whole forward as ONE program (stage='full'): zero inter-stage
             # dispatch gaps; the largest compile the remote service gets
-            return ap("full")(self.unet_params, sample_nchw=latent_nchw,
+            return ap("full")(uparams, sample_nchw=latent_nchw,
                               timesteps=t, encoder_hidden_states=context,
                               added_text_embeds=added_text_embeds,
                               added_time_ids=added_time_ids)
@@ -129,7 +135,7 @@ class ModelBundle:
                 and down_block_residuals is None
                 and mid_block_residual is None):
             h, emb, res_t = ap(f"front_{mk}")(
-                self.unet_params, sample_nchw=latent_nchw, timesteps=t,
+                uparams, sample_nchw=latent_nchw, timesteps=t,
                 encoder_hidden_states=context,
                 added_text_embeds=added_text_embeds,
                 added_time_ids=added_time_ids)
@@ -138,60 +144,60 @@ class ModelBundle:
                 # the core's up blocks consume ONE outside residual: block
                 # mk's downsample output (the last front residual)
                 skip_last = residuals.pop()
-                h = ap(f"core_{mk}")(self.unet_params, hidden=h, emb=emb,
+                h = ap(f"core_{mk}")(uparams, hidden=h, emb=emb,
                                      encoder_hidden_states=context,
                                      skips=(skip_last,))
             else:  # 'down_mid'
-                h, outs = ap(f"downmid_{mk}")(self.unet_params, hidden=h,
+                h, outs = ap(f"downmid_{mk}")(uparams, hidden=h,
                                               emb=emb,
                                               encoder_hidden_states=context)
                 residuals.extend(outs)
                 for i in reversed(range(mk + 1, n)):
                     k2 = cfg.layers_per_block + 1
                     sk, residuals = residuals[-k2:], residuals[:-k2]
-                    h = ap(f"up_{i}")(self.unet_params, hidden=h, emb=emb,
+                    h = ap(f"up_{i}")(uparams, hidden=h, emb=emb,
                                       encoder_hidden_states=context,
                                       skips=tuple(sk))
-            return ap(f"tail_{mk}")(self.unet_params, hidden=h, emb=emb,
+            return ap(f"tail_{mk}")(uparams, hidden=h, emb=emb,
                                     encoder_hidden_states=context,
                                     skips=tuple(residuals))
 
         if mk >= 0:
             h, emb, res_t = ap(f"front_{mk}")(
-                self.unet_params, sample_nchw=latent_nchw, timesteps=t,
+                uparams, sample_nchw=latent_nchw, timesteps=t,
                 encoder_hidden_states=context,
                 added_text_embeds=added_text_embeds,
                 added_time_ids=added_time_ids)
             residuals = list(res_t)
             first_down = mk + 1
         else:
-            h, emb = ap("stem")(self.unet_params, sample_nchw=latent_nchw,
+            h, emb = ap("stem")(uparams, sample_nchw=latent_nchw,
                                 timesteps=t,
                                 added_text_embeds=added_text_embeds,
                                 added_time_ids=added_time_ids)
             residuals = [h]
             first_down = 0
         for i in range(first_down, n):
-            h, outs = ap(f"down_{i}")(self.unet_params, hidden=h, emb=emb,
+            h, outs = ap(f"down_{i}")(uparams, hidden=h, emb=emb,
                                       encoder_hidden_states=context)
             residuals.extend(outs)
         if down_block_residuals is not None:
             assert len(down_block_residuals) == len(residuals)
             residuals = [r + a.astype(r.dtype)
                          for r, a in zip(residuals, down_block_residuals)]
-        h = ap("mid")(self.unet_params, hidden=h, emb=emb,
+        h = ap("mid")(uparams, hidden=h, emb=emb,
                       encoder_hidden_states=context,
                       mid_block_residual=mid_block_residual)
         for i in reversed(range(first_down, n)):
             k = cfg.layers_per_block + 1
             sk, residuals = residuals[-k:], residuals[:-k]
-            h = ap(f"up_{i}")(self.unet_params, hidden=h, emb=emb,
+            h = ap(f"up_{i}")(uparams, hidden=h, emb=emb,
                               encoder_hidden_states=context, skips=tuple(sk))
         if mk >= 0:
-            return ap(f"tail_{mk}")(self.unet_params, hidden=h, emb=emb,
+            return ap(f"tail_{mk}")(uparams, hidden=h, emb=emb,
                                     encoder_hidden_states=context,
                                     skips=tuple(residuals))
-        return ap("out")(self.unet_params, hidden=h)
+        return ap("out")(uparams, hidden=h)
 
     def apply_controlnet(self, latent_nchw, t, context, condition_nchw,
                          conditioning_scale=1.0, added_text_embeds=None,
