@@ -28,6 +28,16 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 
+# Sk ceiling for the one-shot (whole-K/V-resident) kernel. At the UNet
+# self-attention shapes (Sk = 1024/4096, block_probe round 4) attention is
+# VPU-bound on softmax passes over the (bq, Sk) score matrix, not MXU-bound:
+# the online-softmax running-max/denominator rescaling costs ~2x the minimum
+# pass count. With Sk <= 4096 the full K/V rows fit VMEM (~1 MB at D=64
+# bf16), so the one-shot kernel computes an exact softmax in the minimal
+# number of VPU passes (max, exp, sum) with no scratch carry. VAE decode
+# attention (Sk >= 16384) stays on the streaming kernel.
+ONESHOT_MAX_SK = 4096
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                   scale: float):
@@ -110,18 +120,98 @@ def _flash_kernel_bf16_nn(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _oneshot_kernel(q_ref, kt_ref, v_ref, o_ref, *, mxu_sum: bool):
+    """Exact-softmax attention with the whole K/V row resident in VMEM.
+
+    q arrives pre-scaled (1/sqrt(D) folded in host-side — saves one VPU pass
+    over the (bq, Sk) scores). No online-softmax state: one max pass, one
+    fused exp(+cast) pass, and the denominator either as a fp32 VPU sum or as
+    an MXU dot of p against a ones column (mxu_sum; frees the VPU at the cost
+    of one tiny matmul — A/B'd on chip by tools/attn_tune.py). Dots pin
+    precision=DEFAULT against the global 'highest' override (see
+    _flash_kernel_bf16_nn's root-cause note).
+    """
+    q = q_ref[0]                                    # (bq, d)   pre-scaled
+    kt = kt_ref[0]                                  # (d, Sk)
+    v = v_ref[0]                                    # (Sk, d)
+    s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)  # (bq, Sk)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)                              # fp32 (bq, Sk)
+    pb = p.astype(v.dtype)
+    acc = jax.lax.dot_general(pb, v, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)  # (bq, d)
+    if mxu_sum:
+        ones = jnp.ones((v.shape[0], 1), v.dtype)
+        l = jax.lax.dot_general(pb, ones, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+    else:
+        l = jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _oneshot_block_q(sq: int, sk: int) -> int:
+    """Largest power-of-two q block keeping s(fp32)+p(bf16) under ~8 MB of
+    the 16 MB VMEM (leaves room for K/V residency + q/o double-buffering)."""
+    bq = 128
+    while bq < sq and (2 * bq) * sk * 6 <= (8 << 20):
+        bq *= 2
+    bq = min(bq, sq)
+    while sq % bq:
+        bq //= 2
+    return bq
+
+
+def _oneshot_attention(qf, kf, vf, scale, mxu_sum, interpret):
+    BH, Sq, D = qf.shape
+    Sk = kf.shape[1]
+    bq = _oneshot_block_q(Sq, Sk)
+    ktf = kf.transpose(0, 2, 1)                     # (BH, D, Sk)
+    qs = (qf.astype(jnp.float32) * scale).astype(qf.dtype)
+    grid = (BH, Sq // bq)
+    return pl.pallas_call(
+        functools.partial(_oneshot_kernel, mxu_sum=mxu_sum),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, Sk), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), qf.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Sq * Sk * D,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=BH * Sq * Sk),
+        interpret=interpret,
+    )(qs, ktf, vf)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
+                                              "interpret", "oneshot"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    oneshot: str = "auto") -> jnp.ndarray:
     """(B, Sq, H, D) x (B, Sk, H, D) -> (B, Sq, H, D), non-causal.
 
-    Dispatch: bf16 inputs with D >= 64 take the full-rate bf16-dot NN
-    kernel (K pre-transposed in HBM); everything else takes the fp32-upcast
-    kernel. D=40 (SD1.x) measured FASTER with fp32 dots — the narrow head
-    underfills the MXU either way and the upcast is free against the lane
-    padding (tools/flash_bf16_probe.py).
+    Dispatch: Sk <= ONESHOT_MAX_SK (every UNet self-attention shape) takes
+    the one-shot exact-softmax kernel — at those shapes attention is
+    VPU-bound and the streaming rescale passes are pure overhead. Longer
+    sequences (VAE decode attention): bf16 inputs with D >= 64 take the
+    full-rate bf16-dot NN streaming kernel (K pre-transposed in HBM);
+    everything else the fp32-upcast streaming kernel. D=40 (SD1.x) measured
+    FASTER with fp32 dots — the narrow head underfills the MXU either way
+    and the upcast is free against the lane padding
+    (tools/flash_bf16_probe.py).
     """
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
@@ -130,6 +220,13 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
     kf = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
+
+    use_oneshot = (oneshot == "on"
+                   or (oneshot == "auto" and Sk <= ONESHOT_MAX_SK))
+    if use_oneshot:
+        out = _oneshot_attention(qf, kf, vf, scale, mxu_sum=False,
+                                 interpret=interpret)
+        return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
 
     bq = min(block_q, Sq)
     while Sq % bq:

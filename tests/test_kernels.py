@@ -10,43 +10,64 @@ from elasticdiffusion_tpu.kernels.attention import (
 )
 
 
-def _flash_interpret(q, k, v, block_q=128, block_k=128):
+def _flash_interpret(q, k, v, block_q=128, block_k=128, oneshot="auto"):
     """Run the flash kernel in interpreter mode for CPU testing.
     (pltpu.force_tpu_interpret_mode would initialize the TPU backend even
     under JAX_PLATFORMS=cpu in this environment; the pallas_call interpret
     flag does not.)"""
     from elasticdiffusion_tpu.kernels import flash_attention as fa
     return fa.flash_attention(q, k, v, block_q=block_q, block_k=block_k,
-                              interpret=True)
+                              interpret=True, oneshot=oneshot)
 
 
+@pytest.mark.parametrize("oneshot", ["on", "off"])
 @pytest.mark.parametrize("B,Sq,Sk,H,D", [
     (1, 256, 256, 2, 64),
     (2, 512, 512, 1, 64),
     (1, 256, 512, 2, 64),   # cross shapes
     (1, 384, 384, 1, 64),   # non-power-of-two seq (block shrink path)
+    (1, 256, 256, 2, 40),   # SD1.x narrow head
 ])
-def test_flash_matches_reference(B, Sq, Sk, H, D):
+def test_flash_matches_reference(B, Sq, Sk, H, D, oneshot):
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(kq, (B, Sq, H, D), jnp.float32)
     k = jax.random.normal(kk, (B, Sk, H, D), jnp.float32)
     v = jax.random.normal(kv, (B, Sk, H, D), jnp.float32)
     want = reference_attention(q, k, v)
-    got = _flash_interpret(q, k, v)
+    got = _flash_interpret(q, k, v, oneshot=oneshot)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
 
 
-def test_flash_bf16():
+@pytest.mark.parametrize("oneshot", ["on", "off"])
+def test_flash_bf16(oneshot):
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
     q = jax.random.normal(kq, (1, 256, 2, 64), jnp.bfloat16)
     k = jax.random.normal(kk, (1, 256, 2, 64), jnp.bfloat16)
     v = jax.random.normal(kv, (1, 256, 2, 64), jnp.bfloat16)
     want = reference_attention(q.astype(jnp.float32), k.astype(jnp.float32),
                                v.astype(jnp.float32))
-    got = _flash_interpret(q, k, v).astype(jnp.float32)
+    got = _flash_interpret(q, k, v, oneshot=oneshot).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_oneshot_mxu_sum_variant():
+    """The MXU-denominator variant matches the VPU-sum variant."""
+    from elasticdiffusion_tpu.kernels import flash_attention as fa
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(kq, (2, 256, 2, 64), jnp.float32)
+    k = jax.random.normal(kk, (2, 256, 2, 64), jnp.float32)
+    v = jax.random.normal(kv, (2, 256, 2, 64), jnp.float32)
+    qf = q.transpose(0, 2, 1, 3).reshape(4, 256, 64)
+    kf = k.transpose(0, 2, 1, 3).reshape(4, 256, 64)
+    vf = v.transpose(0, 2, 1, 3).reshape(4, 256, 64)
+    a = fa._oneshot_attention(qf, kf, vf, 0.125, mxu_sum=False,
+                              interpret=True)
+    b = fa._oneshot_attention(qf, kf, vf, 0.125, mxu_sum=True,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_dispatch_gates():

@@ -39,9 +39,11 @@ CTX_S, CTX_C = 77, 2048
 FF_INNER = 4 * C
 
 
-def slope_time(make_chain):
+def slope_time(make_chain, n_short=None, n_long=None):
     ts = {}
-    for n in (N_SHORT, N_LONG):
+    n_short = N_SHORT if n_short is None else n_short
+    n_long = N_LONG if n_long is None else n_long
+    for n in (n_short, n_long):
         prog, args = make_chain(n)
         out = prog(*args)
         float(jnp.asarray(out).reshape(-1)[0])
@@ -53,7 +55,7 @@ def slope_time(make_chain):
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         ts[n] = best
-    return (ts[N_LONG] - ts[N_SHORT]) / (N_LONG - N_SHORT), ts[N_SHORT]
+    return (ts[n_long] - ts[n_short]) / (n_long - n_short), ts[n_short]
 
 
 def record(r, label, t, flops=None, gb=None, fixed=None):
@@ -118,13 +120,14 @@ def main():
     ln = nn.LayerNorm(dtype=jnp.float32)
     p_ln = ln.init(key, x.astype(jnp.float32))
     t, fx = slope_time(chain(
-        lambda x: ln.apply(p_ln, x.astype(jnp.float32)).astype(x.dtype), x))
+        lambda x: ln.apply(p_ln, x.astype(jnp.float32)).astype(x.dtype), x),
+        2, 34)
     record(r, "ln_fp32_roundtrip", t, gb=2 * x.size * 2 / 1e9, fixed=fx)
 
     # LayerNorm natively in bf16 (params fp32) — numerics candidate only
     ln_b = nn.LayerNorm(dtype=bf)
     p_lnb = ln_b.init(key, x)
-    t, fx = slope_time(chain(lambda x: ln_b.apply(p_lnb, x), x))
+    t, fx = slope_time(chain(lambda x: ln_b.apply(p_lnb, x), x), 2, 34)
     record(r, "ln_bf16", t, gb=2 * x.size * 2 / 1e9, fixed=fx)
 
     # self-attn projections: 3 separate Dense (as the model does)
@@ -137,15 +140,15 @@ def main():
         q = x @ wq
         k = x @ wk
         v = x @ wv
-        return q + k + v
-    t, fx = slope_time(chain(proj3, x, w_q, w_k, w_v))
+        return q * k + v  # multiplicative: cannot fold into one GEMM
+    t, fx = slope_time(chain(proj3, x, w_q, w_k, w_v), 2, 18)
     record(r, "qkv_3dense", t, flops=3 * gemm_flops, fixed=fx)
 
     def proj1(x, w):
         qkv = x @ w
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        return q + k + v
-    t, fx = slope_time(chain(proj1, x, w_qkv))
+        return q * k + v
+    t, fx = slope_time(chain(proj1, x, w_qkv), 2, 18)
     record(r, "qkv_fused", t, flops=3 * gemm_flops, fixed=fx)
 
     # attention core at S=1024: flash vs XLA
