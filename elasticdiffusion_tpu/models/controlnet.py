@@ -59,6 +59,7 @@ class ControlNet(nn.Module):
     config: ControlNetConfig
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = "auto"
+    scan_depth: bool = False
 
     @nn.compact
     def __call__(self, sample_nchw, timesteps, encoder_hidden_states,
@@ -111,7 +112,7 @@ class ControlNet(nn.Module):
                     x = CrossAttnBlock(bo[i], cfg.heads_for_block(i),
                                        cfg.transformer_layers_per_block[i],
                                        cfg.use_linear_projection, self.dtype,
-                                       self.use_pallas,
+                                       self.use_pallas, self.scan_depth,
                                        name=f"down_{i}_{j}")(x, emb, context)
                 else:
                     x = ResnetBlock2D(bo[i], dtype=self.dtype,
@@ -130,6 +131,7 @@ class ControlNet(nn.Module):
                           depth=cfg.transformer_layers_per_block[-1],
                           use_linear_projection=cfg.use_linear_projection,
                           dtype=self.dtype, use_pallas=self.use_pallas,
+                          scan_depth=self.scan_depth,
                           name="mid_attn")(x, context)
         x = ResnetBlock2D(bo[-1], dtype=self.dtype, use_pallas=self.use_pallas,
                           name="mid_resnet_1")(x, emb)

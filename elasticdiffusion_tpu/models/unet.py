@@ -33,9 +33,32 @@ import jax.numpy as jnp
 
 from elasticdiffusion_tpu.configs import UNetConfig
 from elasticdiffusion_tpu.models.layers import (
-    Downsample2D, GroupNorm32, ResnetBlock2D, TimestepEmbedding, Transformer2D,
-    Upsample2D, timestep_embedding,
+    SCAN_MIN_DEPTH, Downsample2D, GroupNorm32, ResnetBlock2D,
+    TimestepEmbedding, Transformer2D, Upsample2D, timestep_embedding,
 )
+
+
+def stack_transformer_scan_params(params):
+    """Convert unrolled 'blocks_{i}' transformer params (the canonical
+    checkpoint layout, models/convert.py) to the scan layout
+    'blocks/block/...' with a leading depth axis, for any stack deep enough
+    that Transformer2D(scan_depth=True) scans it (depth >= SCAN_MIN_DEPTH).
+    Pure; shallow stacks and non-transformer subtrees pass through unchanged.
+    """
+    if not isinstance(params, dict):
+        return params
+    out = {k: stack_transformer_scan_params(v) for k, v in params.items()
+           if not k.startswith("blocks_")}
+    depth = sum(1 for k in params if k.startswith("blocks_"))
+    if depth == 0:
+        return out
+    stacks = [params[f"blocks_{i}"] for i in range(depth)]
+    if depth < SCAN_MIN_DEPTH:
+        for i, s in enumerate(stacks):
+            out[f"blocks_{i}"] = stack_transformer_scan_params(s)
+        return out
+    out["blocks"] = {"block": jax.tree.map(lambda *xs: jnp.stack(xs), *stacks)}
+    return out
 
 
 class CrossAttnBlock(nn.Module):
@@ -47,6 +70,7 @@ class CrossAttnBlock(nn.Module):
     use_linear_projection: bool
     dtype: jnp.dtype
     use_pallas: str
+    scan_depth: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context):
@@ -56,7 +80,7 @@ class CrossAttnBlock(nn.Module):
                           depth=self.depth,
                           use_linear_projection=self.use_linear_projection,
                           dtype=self.dtype, use_pallas=self.use_pallas,
-                          name="attn")(x, context)
+                          scan_depth=self.scan_depth, name="attn")(x, context)
         return x
 
 
@@ -65,6 +89,7 @@ class UNet2DCondition(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = "auto"
     remat: bool = False
+    scan_depth: bool = False
 
     def _maybe_remat(self, mod_cls):
         if self.remat:
@@ -133,7 +158,8 @@ class UNet2DCondition(nn.Module):
                     x = CA(bo[i], cfg.heads_for_block(i),
                            cfg.transformer_layers_per_block[i],
                            cfg.use_linear_projection, self.dtype,
-                           self.use_pallas, name=f"down_{i}_{j}")(x, e, context)
+                           self.use_pallas, self.scan_depth,
+                           name=f"down_{i}_{j}")(x, e, context)
                 else:
                     x = Res(bo[i], dtype=self.dtype,
                             use_pallas=self.use_pallas,
@@ -153,6 +179,7 @@ class UNet2DCondition(nn.Module):
                               depth=cfg.transformer_layers_per_block[-1],
                               use_linear_projection=cfg.use_linear_projection,
                               dtype=self.dtype, use_pallas=self.use_pallas,
+                              scan_depth=self.scan_depth,
                               name="mid_attn")(x, context)
             x = Res(bo[-1], dtype=self.dtype, use_pallas=self.use_pallas,
                     name="mid_resnet_1")(x, e)
@@ -169,7 +196,8 @@ class UNet2DCondition(nn.Module):
                     x = CA(bo[i], cfg.heads_for_block(i),
                            cfg.transformer_layers_per_block[i],
                            cfg.use_linear_projection, self.dtype,
-                           self.use_pallas, name=f"up_{i}_{j}")(x, e, context)
+                           self.use_pallas, self.scan_depth,
+                           name=f"up_{i}_{j}")(x, e, context)
                 else:
                     x = Res(bo[i], dtype=self.dtype,
                             use_pallas=self.use_pallas,

@@ -164,3 +164,43 @@ def test_param_dtype_policy():
     # VAE masters stay fp32
     vleaf = jax.tree.leaves(b.vae_params)[0]
     assert vleaf.dtype == jnp.float32
+
+
+def test_scan_depth_matches_unrolled():
+    """Transformer2D(scan_depth=True) over restacked params equals the
+    unrolled module exactly at stack depth >= SCAN_MIN_DEPTH, and the
+    segmented stages see the same params (RuntimeConfig.scan_depth
+    contract; models/unet.py stack_transformer_scan_params)."""
+    import dataclasses
+    from elasticdiffusion_tpu.models.unet import (
+        UNet2DCondition, stack_transformer_scan_params,
+    )
+    cfg = dataclasses.replace(TOY_UNET_XL,
+                              transformer_layers_per_block=(1, 4))
+    unrolled = UNet2DCondition(cfg, use_pallas="off", scan_depth=False)
+    scanned = UNet2DCondition(cfg, use_pallas="off", scan_depth=True)
+
+    key = jax.random.PRNGKey(0)
+    s = cfg.sample_size
+    sample = jax.random.normal(key, (2, cfg.in_channels, s, s))
+    t = jnp.array([500.0, 200.0])
+    ctx = jax.random.normal(jax.random.fold_in(key, 1),
+                            (2, 77, cfg.cross_attention_dim))
+    kw = dict(added_text_embeds=jnp.ones((2, cfg.pooled_projection_dim)),
+              added_time_ids=jnp.ones((2, 6)))
+    params = unrolled.init(key, sample, t, ctx, **kw)["params"]
+    want = unrolled.apply({"params": params}, sample, t, ctx, **kw)
+
+    stacked = stack_transformer_scan_params(params)
+    # the deep (depth-4) stack moved to the scan layout, depth-1 untouched
+    assert "blocks" in stacked["down_1_0"]["attn"], (
+        "depth-4 stack should move to the scan layout")
+    assert "blocks_0" not in stacked["down_1_0"]["attn"]
+    got = scanned.apply({"params": stacked}, sample, t, ctx, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    # shallow stacks keep the unrolled names so SD1.x/2.x params pass through
+    assert stack_transformer_scan_params({"blocks_0": {"w": jnp.ones(2)},
+                                          "blocks_1": {"w": jnp.ones(2)}
+                                          }).keys() == {"blocks_0", "blocks_1"}
