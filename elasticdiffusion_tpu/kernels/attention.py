@@ -54,13 +54,19 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           use_pallas: str = "auto") -> jnp.ndarray:
     """(B, Sq, H, D) x (B, Sk, H, D) -> (B, Sq, H, D).
 
-    Flash engages for long, non-causal self-attention with lane-friendly
-    head dims (all SD family head dims qualify: 40/64/80/160). No silent
-    fallback: a failing kernel must fail loudly — the XLA path materializes
-    O(S^2) logits and OOMs exactly where flash matters most.
+    Flash engages for long, non-causal queries with lane-friendly head dims
+    (all SD family head dims qualify: 40/64/80/160). Short KEYS are fine:
+    cross-attention (Sk=77 text tokens) takes the one-shot kernel with the
+    keys padded to one lane and masked in VMEM — the XLA fallback
+    materializes (B,H,Sq,77) fp32 logits in HBM, ~1 ms x 70 instances per
+    SDXL merged forward. No silent fallback: a failing kernel must fail
+    loudly — the XLA path materializes O(S^2) logits and OOMs exactly where
+    flash matters most.
     """
+    import os
+    short_k_ok = (k.shape[1] >= _FLASH_MIN_SEQ
+                  or os.environ.get("ED_CROSSATTN_FLASH", "on") != "off")
     if (_use_pallas(use_pallas) and q.shape[1] >= _FLASH_MIN_SEQ
-            and k.shape[1] >= _FLASH_MIN_SEQ
-            and q.shape[-1] % 8 == 0 and not causal):
+            and short_k_ok and q.shape[-1] % 8 == 0 and not causal):
         return _flash_fn()(q, k, v)
     return reference_attention(q, k, v, causal=causal)

@@ -120,25 +120,34 @@ def _flash_kernel_bf16_nn(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
-def _oneshot_kernel(q_ref, kt_ref, v_ref, o_ref, *, mxu_sum: bool):
-    """Exact-softmax attention with the whole K/V row resident in VMEM.
+def _oneshot_math(q, kt, v, out_dtype, *, sk_real: int, c: float,
+                  mxu_sum: bool):
+    """Shared one-shot exact-softmax body on VMEM-resident tiles.
 
-    q arrives pre-scaled (1/sqrt(D) folded in host-side — saves one VPU pass
-    over the (bq, Sk) scores). No online-softmax state: one max pass, one
-    fused exp(+cast) pass, and the denominator either as a fp32 VPU sum or as
-    an MXU dot of p against a ones column (mxu_sum; frees the VPU at the cost
-    of one tiny matmul — A/B'd on chip by tools/attn_tune.py). Dots pin
+    No online-softmax state: one max pass and ONE fused fma+exp2(+cast)
+    pass over the (bq, Sk) scores. The 1/sqrt(D) logit scale and the
+    exp->exp2 conversion fold into a single static constant c =
+    scale*log2(e) applied as (s - m) * c — softmax is shift/scale-invariant
+    in exactly this way, so no q pre-scale pass in HBM and no separate
+    scale pass over the scores (each was a full extra pass in the previous
+    kernel). The denominator is a fp32 VPU sum or an MXU dot of p against
+    ones (mxu_sum; A/B'd on chip by tools/attn_tune.py). Dots pin
     precision=DEFAULT against the global 'highest' override (see
     _flash_kernel_bf16_nn's root-cause note).
+
+    sk_real < the padded Sk block masks the zero-padded key columns (the
+    cross-attention path: Sk=77 text tokens padded to one 128 lane — scores
+    in VMEM, never the materialized (B,H,Sq,77) fp32 logits of the XLA
+    fallback, which cost ~1 ms x 70 instances per SDXL merged forward).
     """
-    q = q_ref[0]                                    # (bq, d)   pre-scaled
-    kt = kt_ref[0]                                  # (d, Sk)
-    v = v_ref[0]                                    # (Sk, d)
     s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT)  # (bq, Sk)
+    if sk_real != kt.shape[1]:
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols < sk_real, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)                              # fp32 (bq, Sk)
+    p = jnp.exp2((s - m) * c)                       # fp32 (bq, Sk)
     pb = p.astype(v.dtype)
     acc = jax.lax.dot_general(pb, v, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
@@ -150,7 +159,22 @@ def _oneshot_kernel(q_ref, kt_ref, v_ref, o_ref, *, mxu_sum: bool):
                                 precision=jax.lax.Precision.DEFAULT)
     else:
         l = jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    return (acc / l).astype(out_dtype)
+
+
+def _oneshot_kernel(q_ref, kt_ref, v_ref, o_ref, *, mxu_sum: bool,
+                    sk_real: int, c: float):
+    """Flattened (BH, S, D) layout: inputs arrive as HBM transpose copies."""
+    o_ref[0] = _oneshot_math(q_ref[0], kt_ref[0], v_ref[0], o_ref.dtype,
+                             sk_real=sk_real, c=c, mxu_sum=mxu_sum)
+
+
+# NOTE (round 4): a (B, S, H, D)-direct block layout (no q/v/out transpose
+# copies) was tried and is IMPOSSIBLE under current Mosaic constraints: a
+# block's last two dims must be divisible by (8, 128) or equal the array
+# dims, so a 1-of-H head slice with D=64 lanes is rejected; packed-lane
+# alternatives all need 64-element lane slicing (not 128-aligned). The
+# transpose copies stay; XLA fuses them into the surrounding projections.
 
 
 def _oneshot_block_q(sq: int, sk: int) -> int:
@@ -165,33 +189,75 @@ def _oneshot_block_q(sq: int, sk: int) -> int:
     return bq
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _oneshot_attention(qf, kf, vf, scale, mxu_sum, interpret):
     BH, Sq, D = qf.shape
     Sk = kf.shape[1]
-    bq = _oneshot_block_q(Sq, Sk)
-    ktf = kf.transpose(0, 2, 1)                     # (BH, D, Sk)
-    qs = (qf.astype(jnp.float32) * scale).astype(qf.dtype)
+    skp = -(-Sk // 128) * 128                       # pad keys to whole lanes
+    if skp != Sk:
+        pad = ((0, 0), (0, skp - Sk), (0, 0))
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+    bq = _oneshot_block_q(Sq, skp)
+    ktf = kf.transpose(0, 2, 1)                     # (BH, D, Skp)
     grid = (BH, Sq // bq)
     return pl.pallas_call(
-        functools.partial(_oneshot_kernel, mxu_sum=mxu_sum),
+        functools.partial(_oneshot_kernel, mxu_sum=mxu_sum, sk_real=Sk,
+                          c=scale * _LOG2E),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, Sk), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, D, skp), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, skp, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, Sq, D), qf.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * BH * Sq * Sk * D,
+            flops=4 * BH * Sq * skp * D,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
-            transcendentals=BH * Sq * Sk),
+            transcendentals=BH * Sq * skp),
         interpret=interpret,
-    )(qs, ktf, vf)
+    )(qf, ktf, vf)
+
+
+def _oneshot_attention_4d(q, k, v, scale, interpret):
+    """(B, Sq, H, D) in, (B, Sq, H, D) out — no q/v/out transpose copies."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    skp = -(-Sk // 128) * 128
+    if skp != Sk:
+        pad = ((0, 0), (0, skp - Sk), (0, 0), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    bq = _oneshot_block_q(Sq, skp)
+    kt = k.transpose(0, 2, 3, 1)                    # (B, H, D, Skp)
+    grid = (B, H, Sq // bq)
+    return pl.pallas_call(
+        functools.partial(_oneshot_kernel_4d, sk_real=Sk, c=scale * _LOG2E),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 1, D), lambda b, h, i: (b, i, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, skp), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skp, 1, D), lambda b, h, i: (b, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 1, D), lambda b, h, i: (b, i, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, H, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Sq * skp * D,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * H * Sq * skp),
+        interpret=interpret,
+    )(q, kt, v)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",

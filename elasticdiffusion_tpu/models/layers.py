@@ -136,6 +136,42 @@ class GroupNorm32(nn.Module):
         return out.astype(dtype)
 
 
+class LayerNorm32(nn.Module):
+    """LayerNorm computed in fp32, output cast back to input dtype.
+
+    Param names (scale/bias) match nn.LayerNorm so the converter and
+    existing checkpoints are unaffected. epsilon defaults to 1e-5 — the
+    torch/diffusers LayerNorm default the reference runs (the flax
+    nn.LayerNorm default is 1e-6; the deviation was below golden tolerance
+    but is now exact).
+
+    use_pallas routes lane-aligned channel counts (every SD width) through
+    the one-pass fused kernel (kernels/layernorm.py): one HBM read + one
+    write vs the XLA lowering's materialized fp32 upcast round-trip
+    (~390 GB/s measured two-way, artifacts/BLOCK_PROBE.json ln_bf16).
+    """
+
+    epsilon: float = 1e-5
+    use_pallas: str = "off"
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        import os
+        from elasticdiffusion_tpu.kernels.attention import _use_pallas
+        if _use_pallas(self.use_pallas) and C % 128 == 0 \
+                and (x.size // C) % 8 == 0 \
+                and os.environ.get("ED_LN_IMPL", "pallas") != "xla":
+            from elasticdiffusion_tpu.kernels.layernorm import fused_layer_norm
+            return fused_layer_norm(
+                x, scale, bias, eps=self.epsilon,
+                interpret=jax.default_backend() == "cpu")
+        from elasticdiffusion_tpu.kernels.layernorm import reference_layer_norm
+        return reference_layer_norm(x, scale, bias, self.epsilon).astype(x.dtype)
+
+
 class TimestepEmbedding(nn.Module):
     """Linear -> SiLU -> Linear (diffusers TimestepEmbedding)."""
 
@@ -241,17 +277,51 @@ class BasicTransformerBlock(nn.Module):
         attn = lambda name: CrossAttention(self.num_heads, self.head_dim,
                                            dtype=self.dtype,
                                            use_pallas=self.use_pallas, name=name)
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
-        x = x + attn("attn1")(ln("norm1")(x.astype(jnp.float32)).astype(x.dtype))
-        x = x + attn("attn2")(ln("norm2")(x.astype(jnp.float32)).astype(x.dtype),
-                              context=context)
+        ln = lambda name: LayerNorm32(use_pallas=self.use_pallas, name=name)
+        x = x + attn("attn1")(ln("norm1")(x))
+        x = x + attn("attn2")(ln("norm2")(x), context=context)
         x = x + GEGLUFeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
-            ln("norm3")(x.astype(jnp.float32)).astype(x.dtype))
+            ln("norm3")(x))
         return x
 
 
+# Depth at/above which scan_depth rolls the block stack into lax.scan.
+# Depth-1/2 stacks (SD1.x/2.x everywhere, SDXL down_1/up_1) stay unrolled:
+# scanning them saves no meaningful compile time and costs a param restack.
+# SDXL's depth-10 stacks are where the unrolled HLO dominates compile time.
+SCAN_MIN_DEPTH = 4
+
+
+class _ScanBlockBody(nn.Module):
+    """nn.scan body: one BasicTransformerBlock under the carry signature."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "auto"
+
+    @nn.compact
+    def __call__(self, h, context):
+        h = BasicTransformerBlock(self.num_heads, self.head_dim,
+                                  dtype=self.dtype,
+                                  use_pallas=self.use_pallas,
+                                  name="block")(h, context)
+        return h, None
+
+
 class Transformer2D(nn.Module):
-    """Spatial transformer: GN -> proj_in -> blocks -> proj_out -> +residual."""
+    """Spatial transformer: GN -> proj_in -> blocks -> proj_out -> +residual.
+
+    scan_depth=True rolls a deep (>= SCAN_MIN_DEPTH) block stack into
+    nn.scan over depth-stacked params ('blocks/block/...', leading axis =
+    depth) instead of unrolled 'blocks_{i}/...' modules: the XLA program
+    contains ONE block body instead of `depth` copies. Identical math
+    (equality-tested). On-chip surprise (tools/scan_compile_ab.py): the
+    rolled form is ~4% FASTER steady-state but compiles 3.5x SLOWER cold
+    on this remote compile service, so RuntimeConfig.scan_depth defaults
+    off. The canonical checkpoint layout stays unrolled;
+    stack_transformer_scan_params converts at load time.
+    """
 
     num_heads: int
     head_dim: int
@@ -259,6 +329,7 @@ class Transformer2D(nn.Module):
     use_linear_projection: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = "auto"
+    scan_depth: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -272,10 +343,20 @@ class Transformer2D(nn.Module):
         else:
             h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
             h = h.reshape(B, H * W, C)
-        for i in range(self.depth):
-            h = BasicTransformerBlock(self.num_heads, self.head_dim,
-                                      dtype=self.dtype, use_pallas=self.use_pallas,
-                                      name=f"blocks_{i}")(h, context)
+        if self.scan_depth and self.depth >= SCAN_MIN_DEPTH:
+            Scan = nn.scan(_ScanBlockBody,
+                           variable_axes={"params": 0},
+                           split_rngs={"params": True},
+                           in_axes=nn.broadcast,
+                           length=self.depth)
+            h, _ = Scan(self.num_heads, self.head_dim, dtype=self.dtype,
+                        use_pallas=self.use_pallas, name="blocks")(h, context)
+        else:
+            for i in range(self.depth):
+                h = BasicTransformerBlock(self.num_heads, self.head_dim,
+                                          dtype=self.dtype,
+                                          use_pallas=self.use_pallas,
+                                          name=f"blocks_{i}")(h, context)
         if self.use_linear_projection:
             h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
             h = h.reshape(B, H, W, C)
@@ -299,15 +380,79 @@ class Downsample2D(nn.Module):
                        name="conv")(x)
 
 
+# Phase tap-sum matrix of the subpixel upsample-conv identity: row a is the
+# output parity, column p the 2-tap kernel slot, entries select/sum the
+# original 3x3 taps. Derivation: nearest-up duplicates source row i to
+# upsampled rows 2i/2i+1, so the 3-tap window at output row 2i+a reads source
+# rows (i-1, i, i) for a=0 and (i, i, i+1) for a=1 — adjacent taps hitting
+# the SAME source row sum into one effective tap.
+_SUBPIX_T = ((1.0, 0.0, 0.0), (0.0, 1.0, 1.0)), ((1.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+
+
+def subpixel_upsample_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                           bias: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """conv3x3(nearest_up2x(x)) computed WITHOUT materializing the upsample.
+
+    Each output pixel of the fused op sees at most 2x2 distinct source
+    pixels (the 3x3 window covers <= 2 source rows/cols), so the whole op
+    collapses to ONE stride-1 conv with a (2, 2, C, 4*O) phase-grouped
+    kernel on the once-padded source + a depth-to-space interleave:
+    16 vs 36 MACs per output pixel (2.25x fewer FLOPs) and no 4x-size
+    pre-conv activation round-tripping HBM. Zero-pad semantics are exact
+    (phase (a, b) slides its window from source offset (a, b) on a 1-padded
+    input). Tap sums run in fp32; the only deviation vs the unfused form is
+    the final cast of the summed taps to the compute dtype.
+    """
+    B, H, W, C = x.shape
+    O = kernel.shape[-1]
+    T = jnp.asarray(_SUBPIX_T, jnp.float32)                     # (2, 2, 3)
+    k32 = kernel.astype(jnp.float32)
+    kab = jnp.einsum("apy,bqx,yxco->pqabco", T, T, k32)         # (2,2,2,2,C,O)
+    kall = kab.reshape(2, 2, 4, C, O).transpose(0, 1, 3, 2, 4) \
+        .reshape(2, 2, C, 4 * O).astype(dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp.astype(dtype), kall, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))             # (B,H+1,W+1,4O)
+    y = y.reshape(B, H + 1, W + 1, 2, 2, O)
+    z = jnp.stack([y[:, a:a + H, b:b + W, a, b]
+                   for a in (0, 1) for b in (0, 1)], axis=3)    # (B,H,W,4,O)
+    z = z.reshape(B, H, W, 2, 2, O).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(B, 2 * H, 2 * W, O)
+    return z + bias.astype(dtype)
+
+
+class _SubpixelUpConv(nn.Module):
+    """Param-compatible stand-in for Upsample2D's nn.Conv(name='conv')."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, C, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return subpixel_upsample_conv(x, kernel, bias, dtype=self.dtype)
+
+
 class Upsample2D(nn.Module):
-    """Nearest 2x + 3x3 conv."""
+    """Nearest 2x + 3x3 conv (subpixel-decomposed by default; see
+    subpixel_upsample_conv). ED_UPSAMPLE_SUBPIXEL=off restores the
+    materializing repeat+conv form for A/B."""
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        import os
         B, H, W, C = x.shape
+        if os.environ.get("ED_UPSAMPLE_SUBPIXEL", "on") != "off":
+            return _SubpixelUpConv(self.out_channels, dtype=self.dtype,
+                                   name="conv")(x)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, name="conv")(x)

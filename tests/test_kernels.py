@@ -188,3 +188,126 @@ def test_unet_forward_pallas_groupnorm_matches():
     out = m_on.apply(params, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 64, 128),          # lane-aligned C
+    (1, 40, 1280),         # SDXL core width
+    (3, 16, 7, 256),       # 4-d input (any leading shape)
+])
+def test_fused_layernorm_matches_reference(shape):
+    from elasticdiffusion_tpu.kernels.layernorm import (
+        fused_layer_norm, reference_layer_norm,
+    )
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(k1, shape, jnp.float32) * 3.0 + 0.5
+    scale = jax.random.normal(k2, (shape[-1],)) * 0.5 + 1.0
+    bias = jax.random.normal(k3, (shape[-1],)) * 0.2
+    want = reference_layer_norm(x, scale, bias)
+    got = fused_layer_norm(x, scale, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_layernorm_bf16_row_chunking():
+    """bf16 in/out through the chunked-rows path; stats still fp32."""
+    from elasticdiffusion_tpu.kernels.layernorm import (
+        fused_layer_norm, reference_layer_norm,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 2048, 640),
+                          jnp.bfloat16)
+    scale = jnp.ones((640,)) * 1.3
+    bias = jnp.full((640,), -0.1)
+    want = reference_layer_norm(x, scale, bias).astype(jnp.bfloat16)
+    got = fused_layer_norm(x, scale, bias, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_layernorm32_matches_flax_and_torch_eps():
+    """LayerNorm32 == nn.LayerNorm at matched eps on both dispatch paths,
+    and the default eps is the torch/diffusers 1e-5 (flax defaults 1e-6 —
+    that deviation is now closed)."""
+    import flax.linen as nn
+    from elasticdiffusion_tpu.models.layers import LayerNorm32
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 33, 128))
+    ref_mod = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+    params = ref_mod.init(jax.random.PRNGKey(6), x)
+    want = ref_mod.apply(params, x)
+    for mode in ("off", "on"):
+        got = LayerNorm32(use_pallas=mode).apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+    assert LayerNorm32().epsilon == 1e-5
+    # non-lane-aligned C falls back to the jnp path under 'on'
+    x2 = jax.random.normal(jax.random.PRNGKey(7), (2, 5, 96))
+    p2 = ref_mod.init(jax.random.PRNGKey(8), x2)
+    got2 = LayerNorm32(use_pallas="on").apply(p2, x2)
+    want2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32).apply(p2, x2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("Sk", [77, 77 + 128, 1])
+def test_oneshot_short_keys_masked(Sk):
+    """Cross-attention shapes: Sk not a lane multiple pads K/V to whole
+    lanes and masks the padded columns with -inf in VMEM (exact vs the
+    materializing reference)."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(kq, (2, 256, 2, 64), jnp.float32)
+    k = jax.random.normal(kk, (2, Sk, 2, 64), jnp.float32)
+    v = jax.random.normal(kv, (2, Sk, 2, 64), jnp.float32)
+    want = reference_attention(q, k, v)
+    got = _flash_interpret(q, k, v, oneshot="on")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_dispatch_short_keys_take_flash():
+    """dot_product_attention routes long-query/short-key cross-attention to
+    the kernel when pallas is forced on (production TPU path)."""
+    from elasticdiffusion_tpu.kernels import attention as attn_mod
+    calls = []
+    orig = attn_mod._flash_fn
+    attn_mod._flash_fn.cache_clear()
+
+    def spy():
+        fn = orig()
+
+        def wrapped(q, k, v, **kw):
+            calls.append((q.shape, k.shape))
+            return fn(q, k, v, interpret=True, **kw)
+        return wrapped
+    attn_mod._flash_fn = spy
+    try:
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 2, 64))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 2, 64))
+        out = attn_mod.dot_product_attention(q, k, k, use_pallas="on")
+        assert calls, "short-key cross-attention did not reach the kernel"
+        want = attn_mod.reference_attention(q, k, k)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+    finally:
+        attn_mod._flash_fn = orig
+
+
+@pytest.mark.parametrize("shape,O", [
+    ((2, 8, 8, 16), 16),
+    ((1, 7, 5, 12), 8),     # odd spatial, C != O
+])
+def test_subpixel_upsample_conv_exact(shape, O, monkeypatch):
+    """conv3x3(nearest_up2x(x)) == the phase-decomposed single conv
+    (models/layers.py subpixel_upsample_conv), including zero-pad borders."""
+    from elasticdiffusion_tpu.models.layers import Upsample2D
+    x = jax.random.normal(jax.random.PRNGKey(10), shape, jnp.float32)
+    monkeypatch.setenv("ED_UPSAMPLE_SUBPIXEL", "off")
+    ref_mod = Upsample2D(O)
+    params = ref_mod.init(jax.random.PRNGKey(11), x)
+    want = ref_mod.apply(params, x)
+    monkeypatch.setenv("ED_UPSAMPLE_SUBPIXEL", "on")
+    got = Upsample2D(O).apply(params, x)
+    assert got.shape == (shape[0], 2 * shape[1], 2 * shape[2], O)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
