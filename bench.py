@@ -152,6 +152,11 @@ def step_bench(pipe, height, width, rs, n_measure):
         return float(a[0, 0, 0, 0])
 
     t0 = time.time()
+    if seg:
+        # concurrent chain compile (cold-start lever, core/segmented.py
+        # warm_start); counted inside compile_s — it IS the cold start
+        nw = step.warm_start()
+        _log(f"warm_start: {nw} programs in {time.time() - t0:.0f}s")
     out, key, _ = step(lat, key, inp)
     sync(out)
     compile_s = time.time() - t0

@@ -24,7 +24,8 @@ def make_denoise_step(pipe: ElasticDiffusion, height: int, width: int,
                       guidance_scale: float = 10.0, resampling_steps: int = 7,
                       new_p: float = 0.3, repaint: bool = True,
                       prompt: str = "a photo", negative: str = "",
-                      segmented: bool = False):
+                      segmented: bool = False, controlnet_cond=None,
+                      controlnet_scale: float = 1.0):
     """Returns (step_fn, (latent, key, inp)) for ONE denoise step at step 0.
 
     With segmented=False, step_fn is the un-jitted fused closure (callers
@@ -86,7 +87,9 @@ def make_denoise_step(pipe: ElasticDiffusion, height: int, width: int,
         step_fn = build_segmented_step(
             pipe, statics, text_cfg, uncond_text, add_text_cfg,
             uncond_pooled_arg, add_time_ids,
-            repaint=repaint and resampling_steps > 0, scripted=False)
+            repaint=repaint and resampling_steps > 0, scripted=False,
+            controlnet_cond=controlnet_cond,
+            controlnet_scale=controlnet_scale)
     else:
         # _build_step_fn returns a raw closure; callers jit it
         jitted = pipe._build_step_fn(statics, text_cfg, uncond_text,

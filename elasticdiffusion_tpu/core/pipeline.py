@@ -469,6 +469,7 @@ class ElasticDiffusion:
                   new_p, self.view_config, scripted, do_repaint,
                   cn_cond is None, B, vbs_eff)
             cached = self._step_cache.get(ck)
+            fresh_step = cached is None
             if cached is None:
                 mk = lambda rp: build_segmented_step(
                     self, statics, text_cfg, uncond_text, add_text_cfg,
@@ -489,6 +490,12 @@ class ElasticDiffusion:
                     s.collect_phase_times = getattr(
                         self, "collect_phase_times", False)
                     s.phase_times.clear()
+            ws = getattr(self.runtime, "warm_start", "auto")
+            if fresh_step and (ws == "on" or (
+                    ws == "auto" and jax.default_backend() not in ("cpu",))):
+                # concurrent chain compile ahead of the first step call
+                # (sum-of-compiles -> max; see segmented.step.warm_start)
+                (step_repaint or step_plain).warm_start()
         else:
             mk = lambda rp: self._build_step_fn(
                 statics, text_cfg, uncond_text, add_text_cfg,

@@ -343,3 +343,77 @@ def test_segmented_scripted_matches_fused():
     seg, m_s = _gen(b, segmented=True, **kw)
     assert m_s["segmented"]
     np.testing.assert_allclose(seg, fused, atol=5e-5, rtol=1e-4)
+
+
+def test_warm_start_compiles_exact_production_signatures():
+    """step.warm_start() must compile the chain programs for EXACTLY the
+    signatures the real step calls: a later real step adds ZERO new cache
+    entries to any unet_seg_* program. A drifted dummy signature (shape,
+    dtype, weak-type or kwarg mismatch) would silently DOUBLE every chain
+    compile — the opposite of the warm-up's purpose (pay each compile once,
+    in parallel; core/segmented.py warm_start)."""
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from elasticdiffusion_tpu.core.entry import make_denoise_step
+    from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+    b = make_toy_bundle()
+    rt = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                       use_pallas="off", segmented_step="on")
+    pipe = ElasticDiffusion(bundle=b, runtime=rt, verbose=False)
+    step, (lat, key, inp), _ = make_denoise_step(
+        pipe, 32, 48, num_inference_steps=2, guidance_scale=7.5,
+        resampling_steps=1, new_p=0.3, repaint=True, segmented=True)
+
+    n = step.warm_start()
+    # two estimate signatures (main n_sub=2, repaint n_sub=1) x the chain's
+    # per-stage programs
+    assert n >= 4, f"warm start dispatched only {n} programs"
+    cache = pipe.bundle.__dict__["_jit_cache"]
+    sizes = {k: v._cache_size() for k, v in cache.items()
+             if k.startswith("unet_seg_")}
+    assert sizes, "no chain programs were compiled by warm_start"
+
+    out, _, _ = step(lat, key, inp)
+    assert bool(jnp.isfinite(out).all())
+    sizes_after = {k: v._cache_size() for k, v in cache.items()
+                   if k.startswith("unet_seg_")}
+    assert sizes_after == sizes, (
+        "the real step recompiled warm-started programs (signature drift): "
+        f"{sizes} -> {sizes_after}")
+
+
+def test_warm_start_chunked_controlnet():
+    """Warm-up under the memory knob + ControlNet: the dummy chunk must
+    mirror _run_chunk's slicing exactly, and the ControlNet program and
+    residual-fed chain signatures must be the ones the real step uses —
+    same zero-new-compiles contract as the plain test above."""
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from elasticdiffusion_tpu.core.entry import make_denoise_step
+    from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+    b = make_toy_bundle(xl=True, controlnet="canny")
+    rt = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                       use_pallas="off", segmented_step="on")
+    pipe = ElasticDiffusion(bundle=b, runtime=rt, verbose=False,
+                            view_batch_size=5)
+    dh, dw = pipe.get_downsample_size(32, 48)
+    vsf = pipe.vae_scale_factor
+    cond = jnp.asarray(np.random.RandomState(0)
+                       .rand(1, 3, dh * vsf, dw * vsf).astype(np.float32))
+    step, (lat, key, inp), _ = make_denoise_step(
+        pipe, 32, 48, num_inference_steps=2, guidance_scale=7.5,
+        resampling_steps=1, new_p=0.3, repaint=True, segmented=True,
+        controlnet_cond=cond, controlnet_scale=0.5)
+
+    n = step.warm_start()
+    assert n >= 4, f"warm start dispatched only {n} programs"
+    cache = pipe.bundle.__dict__["_jit_cache"]
+    sizes = {k: v._cache_size() for k, v in cache.items()
+             if k.startswith("unet_seg_")}
+    assert sizes, "no chain programs were compiled by warm_start"
+
+    out, _, _ = step(lat, key, inp)
+    assert bool(jnp.isfinite(out).all())
+    sizes_after = {k: v._cache_size() for k, v in cache.items()
+                   if k.startswith("unet_seg_")}
+    assert sizes_after == sizes, (
+        "the real step recompiled warm-started programs (signature drift): "
+        f"{sizes} -> {sizes_after}")
