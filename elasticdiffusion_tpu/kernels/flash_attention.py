@@ -53,11 +53,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     # fp32 in-VMEM upcast before the dots. (The bf16-dot fast path lives in
     # _flash_kernel_bf16_nn below; this form is kept for fp32 inputs and for
     # head dims where the bf16 dots measured slower — see flash_attention.)
+    # Precision is pinned to HIGHEST: unpinned dots inherit the AMBIENT
+    # matmul-precision scope, and the VAE force_upcast decode wraps its
+    # forward in default_matmul_precision('high') — a precision Mosaic
+    # cannot lower ("Unsupported dot precision: HIGH"); this was the true
+    # root cause of r3's silently-zero bench decode_seconds. HIGHEST on
+    # fp32 operands is exactly what the previously-working global
+    # 'highest' override stamped on these dots.
     q = q_ref[0].astype(jnp.float32) * scale        # (bq, d)
     k = k_ref[0].astype(jnp.float32)                # (bk, d)
     v = v_ref[0].astype(jnp.float32)                # (bk, d)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (bq, bk)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)  # (bq, bk)
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
@@ -65,7 +73,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     m_scr[:] = m_new
     l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(kb == nk - 1)
     def _():
@@ -300,6 +309,21 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bk = min(block_k, Sk)
     while Sk % bk:
         bk //= 2
+
+    # VMEM-aware clamp: the tuned 512/1024 defaults assume bf16 D=64
+    # (UNet). The VAE mid attention is fp32 D=512, where double-buffered
+    # q/k/v blocks + the (bq, bk) score/prob temporaries at HIGHEST
+    # precision blow the 16 MB scoped-VMEM budget (measured: 21.96M at
+    # 1024x2048 decode). Halve the larger block until the working set
+    # fits ~6 MB; the production bf16 shapes are untouched (4.8 MB).
+    def _vmem_bytes(bq_, bk_):
+        per_el = q.dtype.itemsize
+        return (bq_ * D + 2 * bk_ * D + 2 * bq_ * bk_) * per_el * 2
+    while _vmem_bytes(bq, bk) > (6 << 20) and max(bq, bk) > 128:
+        if bk >= bq and bk > 128:
+            bk //= 2
+        else:
+            bq //= 2
 
     use_bf16 = q.dtype == jnp.bfloat16 and D >= 64
     if use_bf16:
