@@ -36,16 +36,17 @@ def _ln_kernel(x_ref, sb_ref, o_ref, *, eps: float):
 
 
 def _pick_chunk(N: int, C: int, itemsize: int, budget: int = 1 << 20) -> int:
-    """Largest divisor of N with chunk*C*itemsize under ~1MB (pipelined x2)."""
+    """Largest divisor of N with chunk*C*itemsize under ~1MB (pipelined x2).
+
+    Mosaic requires a block's second-to-last dim to be a multiple of 8 or
+    equal to the whole array dim, so a partial chunk must stay 8-aligned;
+    if no 8-aligned divisor fits the budget, fall back to the whole array
+    (always legal — production shapes never reach that branch)."""
     max_rows = max(1, budget // (C * itemsize))
     if N <= max_rows:
         return N
-    chunk = N
-    while chunk > max_rows and chunk % 2 == 0:
-        chunk //= 2
-    if chunk > max_rows:
-        chunk = max(d for d in range(1, min(N, max_rows) + 1) if N % d == 0)
-    return chunk
+    fits = [d for d in range(8, min(N, max_rows) + 1, 8) if N % d == 0]
+    return max(fits) if fits else N
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))

@@ -311,3 +311,18 @@ def test_subpixel_upsample_conv_exact(shape, O, monkeypatch):
     assert got.shape == (shape[0], 2 * shape[1], 2 * shape[2], O)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_layernorm_pick_chunk_mosaic_legal():
+    """Every chunk _pick_chunk returns is Mosaic-legal: a multiple of 8 or
+    the whole row count (a 20-row block on a 40-row array is rejected by
+    the TPU lowering even though it divides evenly)."""
+    from elasticdiffusion_tpu.kernels.layernorm import _pick_chunk
+    for N, C in [(40, 1 << 16), (20480, 1280), (2187, 512), (24, 64),
+                 (8, 1 << 20)]:
+        chunk = _pick_chunk(N, C, 4)
+        assert N % chunk == 0
+        assert chunk == N or chunk % 8 == 0, (N, C, chunk)
+    # production shape keeps a budget-fitting chunk
+    assert _pick_chunk(20480, 1280, 4) % 8 == 0
+    assert _pick_chunk(20480, 1280, 4) * 1280 * 4 <= (1 << 20)
