@@ -185,6 +185,45 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(x)
 
 
+class Conv3x3(nn.Module):
+    """Param-compatible stand-in for nn.Conv(features, (3,3), padding=1).
+
+    Can route stride-1 SAME 3x3 convs through the implicit-GEMM Pallas
+    kernel (kernels/conv3x3.py) via ED_CONV_IMPL=pallas. The measured A/B
+    at the UNet resnet shapes (artifacts/CONV_PALLAS_PROBE.json) is
+    parity-to-slightly-worse vs XLA's conv (best case +3.5% at 64sq
+    C=640, worst -9% at 128sq C=320), so the default stays on
+    lax.conv_general_dilated — the kernel is kept as the recorded
+    negative result and a base for future shapes. Param names/init match
+    nn.Conv so models/convert.py and existing goldens are unaffected.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "off"
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+        C = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, C, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        from elasticdiffusion_tpu.kernels.attention import _use_pallas
+        from elasticdiffusion_tpu.kernels.conv3x3 import (
+            conv3x3, conv3x3_plan_exists)
+        if (_use_pallas(self.use_pallas) and x.ndim == 4
+                and os.environ.get("ED_CONV_IMPL", "xla") == "pallas"
+                and conv3x3_plan_exists(x.shape, self.features)):
+            return conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
+                           bias, interpret=jax.default_backend() == "cpu")
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
+
+
 class ResnetBlock2D(nn.Module):
     """GN -> SiLU -> conv -> (+temb) -> GN -> SiLU -> conv -> +skip.
 
@@ -203,16 +242,16 @@ class ResnetBlock2D(nn.Module):
         in_ch = x.shape[-1]
         h = GroupNorm32(epsilon=self.norm_eps, use_pallas=self.use_pallas,
                         silu=True, name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv1")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype,
+                    use_pallas=self.use_pallas, name="conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
         h = GroupNorm32(epsilon=self.norm_eps, use_pallas=self.use_pallas,
                         silu=True, name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv2")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype,
+                    use_pallas=self.use_pallas, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)

@@ -326,3 +326,59 @@ def test_layernorm_pick_chunk_mosaic_legal():
     # production shape keeps a budget-fitting chunk
     assert _pick_chunk(20480, 1280, 4) % 8 == 0
     assert _pick_chunk(20480, 1280, 4) * 1280 * 4 <= (1 << 20)
+
+
+@pytest.mark.parametrize("B,H,W,C,O", [
+    (2, 16, 16, 64, 64),     # single H block (nI=1 edge path)
+    (1, 32, 8, 64, 64),      # multiple H blocks
+    (1, 8, 8, 96, 32),       # C != O
+    (2, 16, 16, 64, 128),    # widening
+])
+@pytest.mark.parametrize("silu", [False, True])
+def test_conv3x3_matches_lax_conv(B, H, W, C, O, silu):
+    from elasticdiffusion_tpu.kernels.conv3x3 import (
+        conv3x3, reference_conv3x3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, C, O),
+                          jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.PRNGKey(2), (O,), jnp.float32) * 0.1
+    got = conv3x3(x, w, b, silu_out=silu, interpret=True)
+    want = reference_conv3x3(x, w, b, silu_out=silu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_conv3x3_bf16():
+    from elasticdiffusion_tpu.kernels.conv3x3 import (
+        conv3x3, reference_conv3x3)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 320),
+                          jnp.float32).astype(jnp.bfloat16)
+    w = (jax.random.normal(jax.random.PRNGKey(4), (3, 3, 320, 320),
+                           jnp.float32) * 0.05).astype(jnp.bfloat16)
+    got = conv3x3(x, w, interpret=True).astype(jnp.float32)
+    want = reference_conv3x3(x, w).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_conv3x3_module_wiring_matches_xla(monkeypatch):
+    """Conv3x3's opt-in pallas path == the default XLA path, and the
+    param tree matches nn.Conv's (kernel/bias names + shapes) so the
+    converter is unaffected."""
+    import flax.linen as nn
+    from elasticdiffusion_tpu.models.layers import Conv3x3
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16, 64),
+                          jnp.float32)
+    mod = Conv3x3(64, use_pallas="on")
+    params = mod.init(jax.random.PRNGKey(6), x)
+    assert set(params["params"].keys()) == {"kernel", "bias"}
+    assert params["params"]["kernel"].shape == (3, 3, 64, 64)
+    ref_mod = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)))
+    ref_params = ref_mod.init(jax.random.PRNGKey(6), x)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(ref_params)
+    want = mod.apply(params, x)                 # default: XLA conv
+    monkeypatch.setenv("ED_CONV_IMPL", "pallas")
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
