@@ -4,9 +4,12 @@ Reference (/root/reference/elastic_diffusion_w_controlnet.py:1102-1117):
   canny: cv2.Canny(img, 100, 200) -> 3-channel image
   depth: transformers depth-estimation pipeline (DPT)
 
-This environment has no cv2; canny is implemented natively (3x3 Sobel, L1
-magnitude, 4-direction NMS, double-threshold hysteresis — cv2.Canny's
-default algorithm). Depth runs through the native Flax DPT
+canny is implemented natively (3x3 Sobel, L1 magnitude, 4-direction NMS,
+double-threshold hysteresis — cv2.Canny's default algorithm) so the
+framework has no OpenCV runtime dependency; where cv2 IS importable (it
+is in this environment), tests/test_apps.py asserts bit-exactness against
+the real cv2.Canny on randomized images. Depth runs through the native
+Flax DPT
 (models/dpt.py): converted Intel/dpt-large weights when ED_DPT_DIR points
 at a checkpoint directory, random-init otherwise (plumbing mode — the
 zero-egress environment has no pretrained weights). A caller-supplied

@@ -118,13 +118,17 @@ def _kernel(x_ref, halo_ref, w_ref, b_ref, y_ref, tile, *,
     y_ref[0] = acc.reshape(bh, W, obk).astype(y_ref.dtype)
 
 
-def conv3x3_plan_exists(shape, O: int) -> bool:
+def conv3x3_plan_exists(shape, O: int, itemsize: int = 2) -> bool:
+    """Whether conv3x3 has a legal VMEM plan for this shape at the dtype
+    the caller will actually pass (itemsize = post-cast dtype itemsize —
+    conv3x3 re-plans with x.dtype.itemsize, so the gate must match or an
+    fp32 call could pass a bf16-only gate and hit the assert)."""
     B, H, W, C = shape
     # sublane/lane sanity: the (bh, W, C) -> (bh*W, C) reshape stacks
     # whole (8, 128)-tiles only when W is a sublane multiple.
     if W % 8 or C % 8 or O % 8:
         return False
-    return _plan(H, W, C, O, 2) is not None
+    return _plan(H, W, C, O, itemsize) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("silu_out", "interpret"))
@@ -181,7 +185,8 @@ def conv3x3(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None,
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(x.size + w.size) * x.dtype.itemsize
+            bytes_accessed=(x.size + halo.size) * x.dtype.itemsize
+            + w.size * w.dtype.itemsize
             + B * H * W * O * x.dtype.itemsize,
             transcendentals=B * H * W * O if silu_out else 0),
         interpret=interpret,

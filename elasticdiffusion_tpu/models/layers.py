@@ -189,7 +189,12 @@ class Conv3x3(nn.Module):
     """Param-compatible stand-in for nn.Conv(features, (3,3), padding=1).
 
     Can route stride-1 SAME 3x3 convs through the implicit-GEMM Pallas
-    kernel (kernels/conv3x3.py) via ED_CONV_IMPL=pallas. The measured A/B
+    kernel (kernels/conv3x3.py) via ED_CONV_IMPL=pallas. Like every ED_*
+    attribution flag, the env var is read at TRACE time: it must be set
+    before the first (jitted) apply of a given shape; flipping it later
+    in the same process does not retrace already-compiled programs, and
+    processes sharing the persistent compilation cache key programs by
+    the traced graph (which embeds the choice). The measured A/B
     at the UNet resnet shapes (artifacts/CONV_PALLAS_PROBE.json) is
     parity-to-slightly-worse vs XLA's conv (best case +3.5% at 64sq
     C=640, worst -9% at 128sq C=320), so the default stays on
@@ -215,7 +220,9 @@ class Conv3x3(nn.Module):
             conv3x3, conv3x3_plan_exists)
         if (_use_pallas(self.use_pallas) and x.ndim == 4
                 and os.environ.get("ED_CONV_IMPL", "xla") == "pallas"
-                and conv3x3_plan_exists(x.shape, self.features)):
+                and conv3x3_plan_exists(
+                    x.shape, self.features,
+                    jnp.dtype(self.dtype).itemsize)):
             return conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
                            bias, interpret=jax.default_backend() == "cpu")
         y = jax.lax.conv_general_dilated(

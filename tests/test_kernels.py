@@ -361,6 +361,23 @@ def test_conv3x3_bf16():
                                atol=5e-2, rtol=5e-2)
 
 
+def test_conv3x3_plan_gate_respects_itemsize():
+    """ADVICE r4 (medium): the Conv3x3 gate must check the plan at the
+    dtype actually passed to the kernel. At the production 128sq C=320
+    shape a bf16 (itemsize-2) plan exists but no fp32 (itemsize-4) plan
+    does — a gate hardcoding itemsize=2 would admit an fp32 call that
+    then crashes on conv3x3's `assert plan is not None`."""
+    from elasticdiffusion_tpu.kernels.conv3x3 import conv3x3_plan_exists
+    shape = (4, 128, 128, 320)
+    assert conv3x3_plan_exists(shape, 320, 2)
+    assert not conv3x3_plan_exists(shape, 320, 4)
+    # same at the deep 32sq C=1280 shape the advisor verified
+    assert conv3x3_plan_exists((4, 32, 32, 1280), 1280, 2)
+    assert not conv3x3_plan_exists((4, 32, 32, 1280), 1280, 4)
+    # default itemsize stays bf16 for backward compatibility
+    assert conv3x3_plan_exists(shape, 320)
+
+
 def test_conv3x3_module_wiring_matches_xla(monkeypatch):
     """Conv3x3's opt-in pallas path == the default XLA path, and the
     param tree matches nn.Conv's (kernel/bias names + shapes) so the
