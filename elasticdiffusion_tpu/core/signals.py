@@ -43,7 +43,7 @@ from elasticdiffusion_tpu.ops.views import (
     ViewPlan, gather_views, scatter_first_writer,
 )
 from elasticdiffusion_tpu.parallel.sharding import (
-    pad_and_shard_views, pad_rows_to_mesh, shard_views,
+    pad_and_shard_views, pad_rows_to_mesh, replicate_mesh, shard_views,
 )
 
 
@@ -173,7 +173,9 @@ def approximate_latent_direction(bundle, latent, key, t, text_embeds_cfg,
     B, C, H, W = latent.shape
     N = plan.num_blocks
     n_sub = resampling_steps + 1
-    latent32 = latent.astype(jnp.float32)
+    # replicated gather operand (see parallel/sharding.replicate_mesh:
+    # data-sharded latent -> views-sharded batch would involuntarily remat)
+    latent32 = replicate_mesh(latent, mesh).astype(jnp.float32)
 
     if controlnet_cond is not None:
         # condition arrives prepared at downsample_size*8
@@ -263,6 +265,8 @@ def compute_local_uncond_signal(bundle, latent, t, uncond_embeds, plan: ViewPlan
     """
     B = latent.shape[0]
     V = plan.num_views
+    # replicated gather operand (see parallel/sharding.replicate_mesh)
+    latent = replicate_mesh(latent, mesh)
     views = gather_views(latent.astype(bundle.runtime.compute_dtype), plan)
     vb = views.reshape((V * B,) + views.shape[2:])
     ctx = jnp.tile(uncond_embeds, (V, 1, 1))
