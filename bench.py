@@ -71,7 +71,7 @@ def measure_decode(pipe, height, width):
     sync(pipe.halo_decode(lat))
     warm = time.time() - t0
     _log(f"decode cold={cold:.1f}s warm={warm:.1f}s")
-    return warm
+    return warm, cold
 
 
 def micro_bench(pipe, height, width, rs, n_measure):
@@ -152,15 +152,23 @@ def step_bench(pipe, height, width, rs, n_measure):
         return float(a[0, 0, 0, 0])
 
     t0 = time.time()
+    warm_s = 0.0
     if seg:
-        # concurrent chain compile (cold-start lever, core/segmented.py
-        # warm_start); counted inside compile_s — it IS the cold start
-        nw = step.warm_start()
-        _log(f"warm_start: {nw} programs in {time.time() - t0:.0f}s")
+        # concurrent chain+glue compile (cold-start lever, core/segmented.py
+        # warm_start); counted inside compile_s — it IS the cold start.
+        # Passing inp warms the GLUE programs too (pre/post/ddim tails),
+        # which used to compile serially inside the first step call — the
+        # unexplained ~120 s of VERDICT r4 weak #2.
+        nw = step.warm_start(inp)
+        warm_s = time.time() - t0
+        _log(f"warm_start: {nw} programs in {warm_s:.0f}s")
+    t1 = time.time()
     out, key, _ = step(lat, key, inp)
     sync(out)
+    first_step_s = time.time() - t1
     compile_s = time.time() - t0
-    _log(f"step compiled+ran ({compile_s:.0f}s)")
+    _log(f"step compiled+ran ({compile_s:.0f}s; warm_start {warm_s:.0f}s + "
+         f"first step {first_step_s:.0f}s)")
     times = []
     for i in range(n_measure):
         if seg and i == n_measure - 1:
@@ -171,7 +179,14 @@ def step_bench(pipe, height, width, rs, n_measure):
         times.append(time.time() - t0)
     V = view_plan.num_views
     per_fwd = min(times) / _cost_model(rs, V)
-    extras = {"step_seconds": round(min(times), 3)}
+    extras = {"step_seconds": round(min(times), 3),
+              # per-program cold-start breakdown (VERDICT r4 next #2):
+              # warm_start = concurrent chain+glue compiles, first_step =
+              # whatever still compiled serially in the first call (target
+              # ~= one warm step), decode cold is added by measure_decode
+              "compile_breakdown": {
+                  "warm_start_chain_and_glue_s": round(warm_s, 1),
+                  "first_step_s": round(first_step_s, 1)}}
     if seg and step.phase_times:
         import math
         ph = dict(step.phase_times)
@@ -271,7 +286,10 @@ def main():
     # projection basis is annotated as denoise-only.
     decode_failed = None
     try:
-        decode_s = measure_decode(pipe, height, width)
+        decode_s, decode_cold_s = measure_decode(pipe, height, width)
+        if "compile_breakdown" in extras:
+            extras["compile_breakdown"]["decode_cold_s"] = \
+                round(decode_cold_s, 1)
     except Exception as e:
         import traceback
         traceback.print_exc(file=sys.stderr)
@@ -323,6 +341,16 @@ def main():
             extras["projection_basis"] += (
                 " [decode measurement FAILED: value and projection are "
                 "DENOISE-ONLY]")
+
+    # scan_depth state: 'auto' resolves ON iff tools/prime_cache.py primed
+    # the persistent cache for this topology (the measured 4% win without
+    # the 668 s cold compile; configs.RuntimeConfig.scan_depth)
+    try:
+        from elasticdiffusion_tpu.models.registry import _scan_depth_on
+        extras["scan_depth_on"] = _scan_depth_on(pipe.runtime,
+                                                 pipe.bundle.config)
+    except Exception:
+        pass
 
     north_star_chip_seconds = 20.0 * 8  # <20 s on v5e-8
     result = {

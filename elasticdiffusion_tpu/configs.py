@@ -319,18 +319,21 @@ class RuntimeConfig:
     # identical (tested) — flip on after an on-chip A/B at your topology.
     segment_phase_fuse: str = "off"
     # roll deep (>= SCAN_MIN_DEPTH) transformer stacks into lax.scan over
-    # depth-stacked params: 'auto' | 'on' | 'off' ('auto' currently = off).
-    # Engages only for SDXL's depth-10 cores; identical math
-    # (equality-tested); checkpoints stay in the unrolled canonical layout
-    # and load_bundle restacks (models/unet.py stack_transformer_scan_params).
+    # depth-stacked params: 'auto' | 'on' | 'off'. Engages only for SDXL's
+    # depth-10 cores; identical math (equality-tested); checkpoints stay in
+    # the unrolled canonical layout and load_bundle restacks
+    # (models/unet.py stack_transformer_scan_params).
     # Measured on the v5e chip (tools/scan_compile_ab.py, round 4): 'on' is
     # ~4% FASTER steady-state (0.0587 vs 0.0611 s/fwd at the production
     # batch-20 full_core chain) but compiles 3.5x SLOWER cold (668 vs 189 s)
     # on this remote XLA compile service — the opposite of the usual
-    # rolled-loop intuition. Default off: cold-start dominates first-use
-    # experience and the persistent cache amortizes nothing on a fresh host;
-    # flip on for long-lived servers that generate thousands of images per
-    # process.
+    # rolled-loop intuition. 'auto' therefore resolves to ON exactly when
+    # tools/prime_cache.py has paid that cold compile once into the
+    # persistent compilation cache for this model topology on this host
+    # (cache marker: utils/cache.scan_primed; cross-process cache hits are
+    # proven in artifacts/CACHE_CROSSPROC.json) and OFF on unprimed hosts,
+    # where first-use latency wins. Explicit 'on' for long-lived servers
+    # that skip priming.
     scan_depth: str = "auto"
     # concurrently compile the segmented UNet chain's programs BEFORE the
     # first step call ('auto' = on for non-CPU backends, 'on' | 'off'):

@@ -454,6 +454,7 @@ class ElasticDiffusion:
             build_segmented_step, should_segment,
         )
         use_segmented = should_segment(self.runtime, b.config)
+        warm_pending = None
         if use_segmented:
             # builders are cached per shape/config: their glue programs are
             # expensive to (re)compile on the remote service, and everything
@@ -491,11 +492,14 @@ class ElasticDiffusion:
                         self, "collect_phase_times", False)
                     s.phase_times.clear()
             ws = getattr(self.runtime, "warm_start", "auto")
+            warm_pending = None
             if fresh_step and (ws == "on" or (
                     ws == "auto" and jax.default_backend() not in ("cpu",))):
-                # concurrent chain compile ahead of the first step call
-                # (sum-of-compiles -> max; see segmented.step.warm_start)
-                (step_repaint or step_plain).warm_start()
+                # concurrent chain+glue compile ahead of the first step call
+                # (sum-of-compiles -> max; see segmented.step.warm_start);
+                # deferred until the per-step tables exist so the glue warm
+                # gets production-shaped operands
+                warm_pending = step_repaint or step_plain
         else:
             mk = lambda rp: self._build_step_fn(
                 statics, text_cfg, uncond_text, add_text_cfg,
@@ -599,6 +603,17 @@ class ElasticDiffusion:
                     for i in range(T - 1)]
             undo_s1mb_tbl = jnp.asarray(np.stack([np.asarray(u[0]) for u in undo]))
             undo_sb_tbl = jnp.asarray(np.stack([np.asarray(u[1]) for u in undo]))
+        if warm_pending is not None and not use_fused:
+            # concurrent chain+glue compile ahead of the first step call,
+            # with the first step's REAL table slices as glue shape donors
+            winp = {"t": t_tbl[0], "coeffs": coeffs_tbl[0],
+                    "rrg_w": rrg_tbl[0],
+                    "bg_down": {s: tbl[0] for s, tbl in bg_down_tbl.items()},
+                    "bg_view": {s: tbl[0] for s, tbl in bg_view_tbl.items()}}
+            if undo_s1mb_tbl is not None:
+                winp["undo_s1mb"] = undo_s1mb_tbl[0]
+                winp["undo_sb"] = undo_sb_tbl[0]
+            warm_pending.warm_start(winp)
         # flush the queued preamble (text encode, background VAE encodes,
         # init latent) before starting the denoise timer: dispatch is async
         # on the tunnel backend and the first step's timing would otherwise

@@ -339,18 +339,27 @@ class ModelBundle:
         return self.config.unet.in_channels
 
 
-def _scan_depth_on(runtime: RuntimeConfig) -> bool:
-    """Resolve RuntimeConfig.scan_depth. 'auto' = off: the on-chip A/B
-    (configs.RuntimeConfig.scan_depth) measured 3.5x slower cold compiles
-    for a ~4% steady-state win — wrong default for first-use latency."""
-    return runtime.scan_depth == "on"
+def _scan_depth_on(runtime: RuntimeConfig, cfg: ModelBundleConfig) -> bool:
+    """Resolve RuntimeConfig.scan_depth. 'on'/'off' are explicit. 'auto' =
+    ON iff tools/prime_cache.py has primed the persistent compilation cache
+    with the scan-on chain for this exact model topology on this host
+    (utils/cache.scan_primed) — capturing the measured ~4% steady-state win
+    (0.0587 vs 0.0611 s/fwd, artifacts/SCAN_COMPILE_AB.json) without the
+    3.5x slower cold compile on unprimed hosts (VERDICT r4 next #1a; the
+    cross-process cache hit is proven in artifacts/CACHE_CROSSPROC.json)."""
+    if runtime.scan_depth == "on":
+        return True
+    if runtime.scan_depth == "auto":
+        from elasticdiffusion_tpu.utils.cache import scan_primed
+        return scan_primed(cfg.unet, runtime.param_dtype)
+    return False
 
 
 def _init_unet(cfg: ModelBundleConfig, runtime: RuntimeConfig, key):
     unet = UNet2DCondition(cfg.unet, dtype=runtime.compute_dtype,
                            use_pallas=runtime.use_pallas,
                            remat=runtime.remat_unet,
-                           scan_depth=_scan_depth_on(runtime))
+                           scan_depth=_scan_depth_on(runtime, cfg))
     s = cfg.unet.sample_size
     sample = jnp.zeros((1, cfg.unet.in_channels, s, s), runtime.compute_dtype)
     ctx = jnp.zeros((1, 77, cfg.unet.cross_attention_dim), runtime.compute_dtype)
@@ -444,7 +453,7 @@ def load_bundle(sd_version: str, runtime: RuntimeConfig = RuntimeConfig(),
                                   cond_downsample_factor=cfg.vae.scale_factor)
         controlnet = ControlNet(cn_cfg, dtype=runtime.compute_dtype,
                                 use_pallas=runtime.use_pallas,
-                                scan_depth=_scan_depth_on(runtime))
+                                scan_depth=_scan_depth_on(runtime, cfg))
         s = cfg.unet.sample_size
         kwargs = {}
         if cfg.unet.addition_embed_type == "text_time":
@@ -460,7 +469,7 @@ def load_bundle(sd_version: str, runtime: RuntimeConfig = RuntimeConfig(),
     if checkpoint_dir is not None:
         from elasticdiffusion_tpu.models.convert import load_converted_params
         loaded = load_converted_params(checkpoint_dir)
-        if "unet" in loaded and _scan_depth_on(runtime):
+        if "unet" in loaded and _scan_depth_on(runtime, cfg):
             from elasticdiffusion_tpu.models.unet import (
                 stack_transformer_scan_params)
             loaded["unet"] = stack_transformer_scan_params(loaded["unet"])
@@ -470,7 +479,7 @@ def load_bundle(sd_version: str, runtime: RuntimeConfig = RuntimeConfig(),
                             for i in range(len(text_params)))
         if controlnet is not None and "controlnet" in loaded:
             controlnet_params = loaded["controlnet"]
-            if _scan_depth_on(runtime):
+            if _scan_depth_on(runtime, cfg):
                 from elasticdiffusion_tpu.models.unet import (
                     stack_transformer_scan_params)
                 controlnet_params = stack_transformer_scan_params(
