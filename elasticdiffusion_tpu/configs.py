@@ -273,12 +273,18 @@ class RuntimeConfig:
     vae_decode_fp32: bool = True               # force_upcast analog
     # matmul/conv precision inside the fp32 VAE decode. force_upcast exists
     # because fp16 lacks RANGE (overflow -> black images); fp32 activations
-    # preserve range regardless of the matmul pass count. 'high' (3-pass
-    # bf16, ~fp32 mantissa coverage, ~2x the 6-pass 'highest' throughput) is
-    # the default: the high-vs-highest deviation is bounded on chip by
-    # tools/on_tpu_checks.py check_decode_precision at <1e-3 relative —
-    # below one uint8 quantization step (1/255 of the output range). Set
-    # 'highest' for bit-level fp32 matmuls.
+    # preserve range regardless of the matmul pass count. Measured at the
+    # production resolutions with the full streamed halo decode
+    # (tools/decode_precision_ab.py, artifacts/DECODE_PRECISION_AB.json,
+    # v5e, 1024x2048 / 2048x2048):
+    #   'highest' (6-pass)  1.58 / 3.29 s   (the oracle)
+    #   'high'    (3-pass)  1.01 / 2.14 s   maxdev 0.008 uint8 steps
+    #   'default' (1-pass)  0.52 / 1.16 s   maxdev 1.7-1.8 uint8 steps
+    # 'high' is the default: effectively exact (its deviation from the
+    # 6-pass oracle is 1/125th of one uint8 quantization level) at ~2x
+    # 'highest' throughput. 'default' halves decode again but its worst
+    # pixel moves ~2 uint8 levels — past the quantization bound, so it is
+    # an explicit throughput opt-in, not the default.
     vae_matmul_precision: str = "high"
     use_pallas: str = "auto"                   # 'auto' | 'on' | 'off'
     mesh_shape: Tuple[int, ...] = (1, 1)       # (data, views)
