@@ -206,6 +206,18 @@ def step_bench(pipe, height, width, rs, n_measure):
             ph.get("estimate", 0.0) * math.ceil(w_main / n_mesh) / w_main
             + ph.get("estimate_repaint", 0.0) * math.ceil(w_rep / n_mesh) / w_rep
             + ph.get("sched", 0.0))
+        # quantified padded-batch waste on the 8-wide mesh (VERDICT r4 #7):
+        # pad rows are throwaway compute baked into the projection above.
+        # Composition is rs-driven (batch = 2*(rs+1)+V), so adjacent rs
+        # values land exactly on mesh multiples — documented in
+        # artifacts/MESH_PACKING.md.
+        pm = -(-w_main // n_mesh) * n_mesh
+        pr = -(-w_rep // n_mesh) * n_mesh
+        extras["mesh_padding_waste"] = {
+            "main_batch": w_main, "main_padded": pm,
+            "repaint_batch": w_rep, "repaint_padded": pr,
+            "throwaway_fraction": round(
+                1.0 - (w_main + w_rep) / (pm + pr), 4)}
         fwd_per_image = 50 * _cost_model(rs, V) - (2 + V)
         proj_image = proj_step / _cost_model(rs, V) * fwd_per_image
         extras["projected_v5e8_denoise_sec_per_image"] = round(proj_image, 1)
