@@ -336,17 +336,19 @@ class RuntimeConfig:
     # depth-10 cores; identical math (equality-tested); checkpoints stay in
     # the unrolled canonical layout and load_bundle restacks
     # (models/unet.py stack_transformer_scan_params).
-    # Measured on the v5e chip (tools/scan_compile_ab.py, round 4): 'on' is
-    # ~4% FASTER steady-state (0.0587 vs 0.0611 s/fwd at the production
-    # batch-20 full_core chain) but compiles 3.5x SLOWER cold (668 vs 189 s)
-    # on this remote XLA compile service — the opposite of the usual
-    # rolled-loop intuition. 'auto' therefore resolves to ON exactly when
-    # tools/prime_cache.py has paid that cold compile once into the
-    # persistent compilation cache for this model topology on this host
-    # (cache marker: utils/cache.scan_primed; cross-process cache hits are
-    # proven in artifacts/CACHE_CROSSPROC.json) and OFF on unprimed hosts,
-    # where first-use latency wins. Explicit 'on' for long-lived servers
-    # that skip priming.
+    # Measured on the v5e chip: the round-4 chain-only A/B showed 'on'
+    # ~4% faster (0.0587 vs 0.0611 s/fwd, artifacts/SCAN_COMPILE_AB.json)
+    # but the round-5 step-level A/B with warm caches both ways measured
+    # FLAT (0.0615 vs 0.0616 s/fwd, artifacts/SCAN_STEP_AB_r05.json) — the
+    # chain delta was session-specific. What is robust: 'on' compiles 3.5x
+    # SLOWER cold (668 vs 189 s) on this remote XLA compile service.
+    # 'auto' therefore resolves to ON exactly when tools/prime_cache.py
+    # has paid that cold compile once into the persistent compilation
+    # cache for this model topology on this host (cache marker:
+    # utils/cache.scan_primed; cross-process cache hits are proven in
+    # artifacts/CACHE_CROSSPROC.json) and OFF on unprimed hosts, where
+    # first-use latency wins. Priming is the real lever either way: it
+    # cuts the driver-recorded 283 s cold start to 18-33 s.
     scan_depth: str = "auto"
     # concurrently compile the segmented UNet chain's programs BEFORE the
     # first step call ('auto' = on for non-CPU backends, 'on' | 'off'):

@@ -343,10 +343,12 @@ def _scan_depth_on(runtime: RuntimeConfig, cfg: ModelBundleConfig) -> bool:
     """Resolve RuntimeConfig.scan_depth. 'on'/'off' are explicit. 'auto' =
     ON iff tools/prime_cache.py has primed the persistent compilation cache
     with the scan-on chain for this exact model topology on this host
-    (utils/cache.scan_primed) — capturing the measured ~4% steady-state win
-    (0.0587 vs 0.0611 s/fwd, artifacts/SCAN_COMPILE_AB.json) without the
-    3.5x slower cold compile on unprimed hosts (VERDICT r4 next #1a; the
-    cross-process cache hit is proven in artifacts/CACHE_CROSSPROC.json)."""
+    (utils/cache.scan_primed): step-level speed is flat between the arms
+    (artifacts/SCAN_STEP_AB_r05.json), but the primed scan chain is the
+    one whose cold compile was prepaid, so resolving ON there keeps every
+    later process on the 18-33 s warm path instead of a 157 s recompile
+    (VERDICT r4 next #1a; cross-process cache hits proven in
+    artifacts/CACHE_CROSSPROC.json)."""
     if runtime.scan_depth == "on":
         return True
     if runtime.scan_depth == "auto":

@@ -42,14 +42,16 @@ def enable_compilation_cache(path: str = None):
 # ---------------------------------------------------------------------------
 # scan_depth cache-priming marker
 #
-# RuntimeConfig.scan_depth='on' is measured ~4% faster steady-state but 3.5x
-# slower to compile cold (artifacts/SCAN_COMPILE_AB.json: 668 vs 189 s) on
-# the remote compile service. The persistent compilation cache is proven to
-# work across processes on this service (artifacts/CACHE_CROSSPROC.json:
-# cold 37 s -> warm 1-2 s in fresh processes), so the 668 s is a ONE-TIME
-# cost: tools/prime_cache.py pays it once and drops a marker; 'auto' then
-# resolves to ON for that exact model topology on this host. Unprimed hosts
-# stay off — first-use latency wins by default (VERDICT r4 next #1a).
+# RuntimeConfig.scan_depth='on' compiles 3.5x slower cold (668 vs 189 s,
+# artifacts/SCAN_COMPILE_AB.json) on the remote compile service; its
+# steady-state speed measured flat vs 'off' at the full step
+# (artifacts/SCAN_STEP_AB_r05.json). The persistent compilation cache is
+# proven to work across processes on this service
+# (artifacts/CACHE_CROSSPROC.json: cold 37 s -> warm 1-2 s in fresh
+# processes), so the 668 s is a ONE-TIME cost: tools/prime_cache.py pays it
+# once and drops a marker; 'auto' then resolves to ON for that exact model
+# topology on this host. Unprimed hosts stay off — first-use latency wins
+# by default (VERDICT r4 next #1a).
 # ---------------------------------------------------------------------------
 
 
