@@ -357,6 +357,16 @@ class RuntimeConfig:
     # cold start drops from sum-of-stage-compiles toward max-of-compiles
     # (core/segmented.py step.warm_start; VERDICT r3 weak #2).
     warm_start: str = "auto"
+    # offload the text-encoder weights to HOST memory once conditioning is
+    # computed ('auto' | 'on' | 'off'): frees ~1.5 GB of HBM (SDXL dual
+    # encoders, bf16) that the denoise loop never reads. 'auto' = on
+    # exactly when ControlNet is resident on a non-CPU backend — the
+    # configuration where total weight residency (~9.5 GB on a 16 GB v5e)
+    # otherwise starves the UNet chain's activations (round-5 flagship OOM).
+    # encode_text re-pins on device on the next prompt (one ~1.5 GB upload).
+    # TPU-native analog of the reference's low_vram component offload
+    # (/root/reference/elastic_diffusion.py:155-160).
+    text_offload: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -409,6 +409,15 @@ class ElasticDiffusion:
                                                   default_size)
             uncond_pooled_arg = uncond_pooled
 
+        # conditioning is done: the denoise loop never reads the text
+        # encoders, so under the auto/on offload policy their ~1.5 GB of
+        # HBM goes back to the UNet chain's activation budget (decisive
+        # with ControlNet resident on a 16 GB chip; RuntimeConfig.text_offload)
+        off = getattr(self.runtime, "text_offload", "off")
+        if off == "on" or (off == "auto" and b.controlnet_params is not None
+                           and jax.default_backend() not in ("cpu",)):
+            b.offload_text_encoders()
+
         # ControlNet condition: the reference prepares it at
         # downsample_size*8 (w_controlnet.py:1183-1193) and the pipeline
         # derives both the direction-path (zero-padded low-res) and the

@@ -124,8 +124,14 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
             down, mid = _cn_jit(
                 b.controlnet_params if cn_params is None else cn_params,
                 x_in, t, ctx, cn_cond, scale, **kwargs)
-            kwargs["down_block_residuals"] = down
+            # hand the residuals over as a LIST the callee owns: after
+            # folding them into the skips it clears the list, freeing
+            # ~0.8 GB of HBM (at vbs=8 SDXL) BEFORE mid/up run — with a
+            # tuple the buffers stay pinned by this frame for the whole
+            # chain (the round-5 ControlNet-flagship OOM site)
+            kwargs["down_block_residuals"] = list(down)
             kwargs["mid_block_residual"] = mid
+            del down
         return b.apply_unet_segmented(x_in, t, ctx, params=unet_params,
                                       **kwargs)
 
@@ -613,7 +619,35 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                                        low0, low0, rrg0))
         return thunks
 
-    def warm_start(inp=None):
+    def _warm_mode():
+        """'exec' (default): each warmed program runs once on zeros —
+        fastest path to a fully seated jit cache, but the CONCURRENT
+        executions' activations stack in HBM. With ControlNet resident
+        (~9.5 GB weights on a 16 GB chip) that spike OOMs (measured,
+        round 5: even the residual-zeros allocation failed at 1024x2048
+        while the same forwards run fine SEQUENTIALLY — cn_mem_probe), so
+        ControlNet pipelines switch to 'aot': lower+compile with abstract
+        operands (zero device memory), paying compiles into the persistent
+        cache; the first real step then deserializes them (~1-2 s each,
+        artifacts/CACHE_CROSSPROC.json). The gate is residency-based, not
+        memory_stats-based: the axon tunnel backend reports all-zero
+        memory stats (falling back to stats when they exist). CPU backends
+        stay 'exec' (tests rely on the seated-cache contract)."""
+        try:
+            import jax as _jax
+            if _jax.default_backend() == "cpu":
+                return "exec"
+            if getattr(b, "controlnet_params", None) is not None:
+                return "aot"
+            s = _jax.local_devices()[0].memory_stats() or {}
+            limit, used = s.get("bytes_limit", 0), s.get("bytes_in_use", 0)
+            if limit and limit - used < (8 << 30):
+                return "aot"
+        except Exception:
+            pass
+        return "exec"
+
+    def warm_start(inp=None, mode="auto"):
         """Concurrently compile the UNet chain programs for every estimate
         signature of this step (main + repaint) BEFORE the first real call:
         cold start drops from sum-of-stage-compiles toward max-of-compiles
@@ -627,9 +661,13 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
         concurrently too, from a side thread pool (VERDICT r4 weak #2: glue
         was the missing ~120 s of cold start). Under phase fusion the whole
         phase is one program: nothing to parallelize. Returns the number of
-        programs dispatched."""
+        programs dispatched.
+
+        mode: 'auto' (headroom-gated, see _warm_mode) | 'exec' | 'aot'."""
         if phase_fused:
             return 0
+        if mode == "auto":
+            mode = _warm_mode()
         import threading
         glue = []
         glue_threads = []
@@ -669,15 +707,26 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
             if cn is not None:
                 # ControlNet runs as one program before the chain: compile
                 # it concurrently with the chain warm; its residual SHAPES
-                # feed the chain signature as zeros
+                # feed the chain signature as zeros (tiny next to the
+                # chain activations, so they stay materialized in 'aot')
                 cn_args = (b.controlnet_params, x, t, ctx, cn,
                            cstate["cn_scale"])
-                down, mid = jax.tree.map(
-                    lambda v: jnp.zeros(v.shape, v.dtype),
-                    jax.eval_shape(_cn_jit, *cn_args, **kw))
-                cn_thread = threading.Thread(
-                    target=_cn_jit, args=cn_args, kwargs=dict(kw),
-                    daemon=True)
+                res_shapes = jax.eval_shape(_cn_jit, *cn_args, **kw)
+                if mode == "aot":
+                    # stay abstract: the collect-mode chain only reads
+                    # shapes, and materializing these zeros was itself the
+                    # OOM site at CN residency (round 5)
+                    down, mid = res_shapes
+                else:
+                    down, mid = jax.tree.map(
+                        lambda v: jnp.zeros(v.shape, v.dtype), res_shapes)
+                if mode == "aot":
+                    cn_target = (lambda _a=cn_args, _k=dict(kw):
+                                 _cn_jit.lower(*_a, **_k).compile())
+                else:
+                    cn_target = (lambda _a=cn_args, _k=dict(kw):
+                                 _cn_jit(*_a, **_k))
+                cn_thread = threading.Thread(target=cn_target, daemon=True)
                 cn_thread.start()
                 kw["down_block_residuals"] = down
                 kw["mid_block_residual"] = mid
@@ -695,7 +744,7 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                             else _P())
                     return NamedSharding(_m, spec)
                 kw["shard_zeros"] = _hint
-            n += b.warm_unet_segmented(x, t, ctx, **kw)
+            n += b.warm_unet_segmented(x, t, ctx, mode=mode, **kw)
             if cn_thread is not None:
                 cn_thread.join()
                 n += 1

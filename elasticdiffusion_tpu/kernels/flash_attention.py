@@ -39,6 +39,19 @@ DEFAULT_BLOCK_K = 1024
 ONESHOT_MAX_SK = 4096
 
 
+def oneshot_fits_vmem(sk: int, d: int, itemsize: int) -> bool:
+    """The one-shot kernel keeps the FULL (padded) K and V rows resident in
+    VMEM: 2*Skp*D*itemsize bytes before q/o blocks and score temporaries.
+    Fine at every UNet shape (<= ~2.6 MB at D=160 bf16), but the VAE mid
+    attention hits Sk=4096 at D=512 — fp32 there (background-stripe encodes
+    at 512 px, core/background.py) is 16 MB of K/V alone, which overflows
+    the 16 MB scoped-VMEM budget at compile time (measured 17.00M, round 5).
+    Cap residency at half the budget; larger shapes take the streaming
+    kernel, whose block clamp already handles fp32 D=512."""
+    skp = -(-sk // 128) * 128
+    return 2 * skp * d * itemsize <= (8 << 20)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                   scale: float):
     kb = pl.program_id(2)
@@ -297,7 +310,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
 
     use_oneshot = (oneshot == "on"
-                   or (oneshot == "auto" and Sk <= ONESHOT_MAX_SK))
+                   or (oneshot == "auto" and Sk <= ONESHOT_MAX_SK
+                       and oneshot_fits_vmem(Sk, D, q.dtype.itemsize)))
     if use_oneshot:
         out = _oneshot_attention(qf, kf, vf, scale, mxu_sum=False,
                                  interpret=interpret)

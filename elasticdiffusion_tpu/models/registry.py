@@ -76,20 +76,38 @@ class ModelBundle:
         the upstream program's OUTPUT shardings (GSPMD-propagated
         P('views')); default-placed zeros would be a different jit cache
         key and silently double every compile (caught by
-        tests/test_sharding.py test_warm_start_mesh_exact_cache_hit)."""
+        tests/test_sharding.py test_warm_start_mesh_exact_cache_hit).
+
+        mode='exec' (default) executes each program once on zeros, which
+        also seats the in-process jit dispatch cache — but the CONCURRENT
+        executions' activations stack up in HBM (fine for the text2img
+        flagship at ~7 GB resident; OOMs with ControlNet resident at
+        ~9.5 GB, round 5). mode='aot' instead runs fn.lower(...).compile()
+        with abstract (ShapeDtypeStruct) inter-stage operands — zero
+        device-memory cost — which pays the remote compile into the
+        PERSISTENT compilation cache; the first real call then
+        deserializes (~1-2 s/program, artifacts/CACHE_CROSSPROC.json)
+        instead of recompiling."""
         shard_zeros = kwargs.pop("shard_zeros", None)
+        mode = kwargs.pop("mode", "exec")
         self.__dict__["_warm_collect"] = {}
         self.__dict__["_warm_shard"] = shard_zeros
+        self.__dict__["_warm_aot"] = mode == "aot"
         try:
             self.apply_unet_segmented(latent_nchw, t, context, **kwargs)
         finally:
             jobs = list(self.__dict__.pop("_warm_collect").values())
             self.__dict__.pop("_warm_shard", None)
+            self.__dict__.pop("_warm_aot", None)
         if not jobs:
             return 0
         from concurrent.futures import ThreadPoolExecutor
+        if mode == "aot":
+            run = lambda fn, a, kw: fn.lower(*a, **kw).compile()
+        else:
+            run = lambda fn, a, kw: fn(*a, **kw)
         with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-            futs = [ex.submit(fn, *a, **kw) for fn, a, kw in jobs]
+            futs = [ex.submit(run, fn, a, kw) for fn, a, kw in jobs]
             for f in futs:
                 f.result()
         return len(jobs)
@@ -134,11 +152,18 @@ class ModelBundle:
                 # return abstract outputs so the chain keeps flowing without
                 # executing anything
                 shard = self.__dict__.get("_warm_shard")
+                aot = self.__dict__.get("_warm_aot", False)
 
                 def _conc(v):
                     if isinstance(v, jax.ShapeDtypeStruct):
-                        z = jnp.zeros(v.shape, v.dtype)
                         sh = shard(v.shape) if shard is not None else None
+                        if aot:
+                            # mode='aot': stay abstract — lower() accepts
+                            # ShapeDtypeStructs, so nothing touches HBM
+                            return (v if sh is None else
+                                    jax.ShapeDtypeStruct(v.shape, v.dtype,
+                                                         sharding=sh))
+                        z = jnp.zeros(v.shape, v.dtype)
                         return z if sh is None else jax.device_put(z, sh)
                     return v
 
@@ -256,6 +281,11 @@ class ModelBundle:
             else:
                 residuals = [r + a.astype(r.dtype)
                              for r, a in zip(residuals, down_block_residuals)]
+                if isinstance(down_block_residuals, list):
+                    # callee-owned (core/segmented.py _unet passes a list):
+                    # the pre-fold ControlNet buffers are dead weight from
+                    # here on — release their HBM before mid/up execute
+                    down_block_residuals.clear()
         h = ap("mid")(uparams, hidden=h, emb=emb,
                       encoder_hidden_states=context,
                       mid_block_residual=mid_block_residual)
@@ -320,11 +350,45 @@ class ModelBundle:
             {"params": params}, img, nz, method=AutoencoderKL.encode_sample))(
                 self.vae_params, images_nchw, noise)
 
+    def offload_text_encoders(self) -> int:
+        """Move the text-encoder weights to HOST memory, freeing their HBM
+        (~1.5 GB for the SDXL dual encoders in bf16). The denoise loop never
+        reads them, and with ControlNet resident (~9.5 GB of weights on a
+        16 GB chip) that headroom is what lets the flagship UNet chain run
+        at full view_batch_size (the round-5 OOM site). encode_text re-pins
+        them on device on next use, so offloading between conditioning and
+        denoising is always safe. TPU-native analog of the reference's
+        low_vram CPU-offload hooks
+        (/root/reference/elastic_diffusion.py:155-160). Returns how many
+        encoder trees were actually moved."""
+        moved = 0
+        host = []
+        for p in self.text_params:
+            if any(isinstance(l, jax.Array) for l in jax.tree.leaves(p)):
+                p = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), p)
+                moved += 1
+            host.append(p)
+        self.text_params = tuple(host)
+        return moved
+
+    def _resident_text_params(self, encoder_id: int):
+        """Re-pin an offloaded encoder's weights on device ONCE and rebind,
+        so the 2x(uncond,cond) encodes of one prompt pay a single upload."""
+        p = self.text_params[encoder_id]
+        leaves = jax.tree.leaves(p)
+        if leaves and not isinstance(leaves[0], jax.Array):
+            p = jax.device_put(p)
+            lst = list(self.text_params)
+            lst[encoder_id] = p
+            self.text_params = tuple(lst)
+        return p
+
     def encode_text(self, input_ids, encoder_id: int = 0):
         m = self.text_models[encoder_id]
         return self._jit(f"text_{encoder_id}",
                          lambda params, ids: m.apply({"params": params}, ids))(
-                             self.text_params[encoder_id], jnp.asarray(input_ids))
+                             self._resident_text_params(encoder_id),
+                             jnp.asarray(input_ids))
 
     @property
     def vae_scale_factor(self) -> int:

@@ -82,6 +82,35 @@ def test_dispatch_gates():
     assert out_c.shape == q.shape
 
 
+def test_oneshot_vmem_residency_gate():
+    """The auto dispatch must NOT take the one-shot (whole-K/V-resident)
+    kernel when 2*Skp*D*itemsize overflows half the 16 MB scoped VMEM.
+    Regression: the VAE ENCODER mid attention at S=4096 D=512 fp32
+    (512 px background-stripe encodes, core/background.py) compiled a 17 MB
+    scoped allocation and failed on chip (round 5); it must stream. UNet
+    shapes (D <= 160) and the bf16 D=512 variant stay one-shot."""
+    from elasticdiffusion_tpu.kernels.flash_attention import (
+        ONESHOT_MAX_SK, oneshot_fits_vmem)
+    # the failing shape: fp32, Sk=4096, D=512 -> 16 MB K/V residency
+    assert not oneshot_fits_vmem(4096, 512, 4)
+    # every UNet self-attention shape fits comfortably
+    for d in (40, 64, 80, 160):
+        assert oneshot_fits_vmem(ONESHOT_MAX_SK, d, 2)
+    assert oneshot_fits_vmem(4096, 512, 2)  # bf16 D=512 = 8 MB, boundary-ok
+
+    # numerics at the re-routed shape (Sk=4096, D=512, fp32; small Sq keeps
+    # interpret mode fast): auto now takes the streaming kernel — parity
+    # with the XLA reference must hold
+    kq, kk = jax.random.split(jax.random.PRNGKey(3))
+    q = jax.random.normal(kq, (1, 128, 1, 512), jnp.float32)
+    kv = jax.random.normal(kk, (1, 4096, 1, 512), jnp.float32)
+    from elasticdiffusion_tpu.kernels import flash_attention as fa
+    got = fa.flash_attention(q, kv, kv, interpret=True, oneshot="auto")
+    want = reference_attention(q, kv, kv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_reference_attention_causality():
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 1, 16))
     out = reference_attention(q, q, q, causal=True)

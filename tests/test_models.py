@@ -204,3 +204,31 @@ def test_scan_depth_matches_unrolled():
     assert stack_transformer_scan_params({"blocks_0": {"w": jnp.ones(2)},
                                           "blocks_1": {"w": jnp.ones(2)}
                                           }).keys() == {"blocks_0", "blocks_1"}
+
+
+def test_text_offload_roundtrip(bundle_xl):
+    """offload_text_encoders must move every encoder tree to host (numpy
+    leaves, freeing their HBM — the round-5 ControlNet-flagship headroom
+    fix, RuntimeConfig.text_offload) and encode_text must transparently
+    re-pin ON THE FIRST use with identical outputs — re-binding the device
+    copy so one prompt's 2x(uncond,cond) encodes pay a single upload."""
+    b = bundle_xl
+    ids = b.tokenizers[0]("a photo of a cat")
+    before = [np.asarray(b.encode_text(ids, i)[0]) for i
+              in range(len(b.text_models))]
+
+    moved = b.offload_text_encoders()
+    assert moved == len(b.text_params)
+    for p in b.text_params:
+        assert all(isinstance(l, np.ndarray) and not isinstance(l, jax.Array)
+                   for l in jax.tree.leaves(p)), "leaves must be host numpy"
+    # idempotent: nothing device-resident left to move
+    assert b.offload_text_encoders() == 0
+
+    after = [np.asarray(b.encode_text(ids, i)[0]) for i
+             in range(len(b.text_models))]
+    for w, g in zip(before, after):
+        np.testing.assert_array_equal(w, g)
+    # first use re-pinned the tree: device-resident again
+    for p in b.text_params:
+        assert isinstance(jax.tree.leaves(p)[0], jax.Array)

@@ -381,6 +381,47 @@ def test_warm_start_compiles_exact_production_signatures():
         f"{sizes} -> {sizes_after}")
 
 
+def test_warm_start_aot_mode():
+    """warm_start(mode='aot') must lower+compile every program WITHOUT
+    executing anything on device (zero activation HBM — the mode the
+    headroom gate picks when ControlNet is resident, where concurrent
+    zero-executions OOM a 16 GB chip; round 5), and the real step must
+    still run correctly afterward. Uses the ControlNet toy bundle — the
+    exact configuration that triggers the gate in production."""
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from elasticdiffusion_tpu.core.entry import make_denoise_step
+    from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+    b = make_toy_bundle(xl=True, controlnet="canny")
+    rt = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                       use_pallas="off", segmented_step="on")
+    pipe = ElasticDiffusion(bundle=b, runtime=rt, verbose=False)
+    dh, dw = pipe.get_downsample_size(32, 48)
+    vsf = pipe.vae_scale_factor
+    cond = jnp.asarray(np.random.RandomState(1)
+                       .rand(1, 3, dh * vsf, dw * vsf).astype(np.float32))
+    step, (lat, key, inp), _ = make_denoise_step(
+        pipe, 32, 48, num_inference_steps=2, guidance_scale=7.5,
+        resampling_steps=1, new_p=0.3, repaint=True, segmented=True,
+        controlnet_cond=cond, controlnet_scale=0.5)
+
+    n = step.warm_start(inp, mode="aot")
+    assert n >= 4, f"aot warm start dispatched only {n} programs"
+    out, _, _ = step(lat, key, inp)
+    assert bool(jnp.isfinite(out).all())
+
+    # aot and exec must produce identical step results (same programs)
+    b2 = make_toy_bundle(xl=True, controlnet="canny")
+    pipe2 = ElasticDiffusion(bundle=b2, runtime=rt, verbose=False)
+    step2, (lat2, key2, inp2), _ = make_denoise_step(
+        pipe2, 32, 48, num_inference_steps=2, guidance_scale=7.5,
+        resampling_steps=1, new_p=0.3, repaint=True, segmented=True,
+        controlnet_cond=cond, controlnet_scale=0.5)
+    step2.warm_start(inp2, mode="exec")
+    out2, _, _ = step2(lat2, key2, inp2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_warm_start_chunked_controlnet():
     """Warm-up under the memory knob + ControlNet: the dummy chunk must
     mirror _run_chunk's slicing exactly, and the ControlNet program and

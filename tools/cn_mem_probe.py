@@ -87,6 +87,11 @@ def main():
     if not full:
         return
 
+    # free the standalone-phase device buffers (~1 GB: residuals + eps)
+    # before the full attempt — otherwise the probe itself shrinks the
+    # pipeline's headroom and mis-reports the flagship as OOM
+    del x, ctx, pooled, tids, cond, down, mid, eps
+
     from PIL import Image
     from elasticdiffusion_tpu.apps.preprocessors import (
         prepare_image, process_condition_image)
