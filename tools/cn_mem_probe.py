@@ -114,6 +114,18 @@ def main():
             tiled_decoder=True, return_arrays=True, condition_image=cond_low)
         print(f"[full] 1-step generate ok ({time.time()-t0:.0f}s)",
               flush=True)
+        out = os.environ.get("ED_PROBE_SAVE")
+        if out:
+            a = np.asarray(arr)
+            if a.ndim == 4:
+                a = a[0]
+            if a.shape[0] in (1, 3):  # NCHW -> HWC
+                a = np.moveaxis(a, 0, -1)
+            Image.fromarray(
+                np.clip(a * 255, 0, 255).astype(np.uint8)).save(out)
+            print(f"[full] saved {out}", flush=True)
+        if pipe.last_metrics:
+            print(f"[full] metrics: {pipe.last_metrics}", flush=True)
     except Exception:
         traceback.print_exc()
     stats("after full pipeline attempt")
