@@ -458,3 +458,44 @@ def test_warm_start_chunked_controlnet():
     assert sizes_after == sizes, (
         "the real step recompiled warm-started programs (signature drift): "
         f"{sizes} -> {sizes_after}")
+
+
+def test_warm_start_auto_mode_gate(monkeypatch):
+    """warm_start's default mode='auto' must resolve per the headroom
+    gate: 'exec' on CPU backends (tests and toy runs rely on the
+    seated-dispatch-cache contract), 'aot' on non-CPU backends when
+    ControlNet is resident — the configuration whose concurrent
+    zero-executions OOMed the 16 GB chip (artifacts/CN_FLAGSHIP_r05.json).
+    The backend is monkeypatched; the resolved mode is observed at the
+    warm_unet_segmented seam."""
+    from elasticdiffusion_tpu.configs import RuntimeConfig
+    from elasticdiffusion_tpu.core.entry import make_denoise_step
+    from elasticdiffusion_tpu.core.pipeline import ElasticDiffusion
+    b = make_toy_bundle(xl=True, controlnet="canny")
+    rt = RuntimeConfig(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                       use_pallas="off", segmented_step="on")
+    pipe = ElasticDiffusion(bundle=b, runtime=rt, verbose=False)
+    dh, dw = pipe.get_downsample_size(32, 48)
+    vsf = pipe.vae_scale_factor
+    cond = jnp.asarray(np.random.RandomState(1)
+                       .rand(1, 3, dh * vsf, dw * vsf).astype(np.float32))
+    step, (lat, key, inp), _ = make_denoise_step(
+        pipe, 32, 48, num_inference_steps=2, guidance_scale=7.5,
+        resampling_steps=1, new_p=0.3, repaint=True, segmented=True,
+        controlnet_cond=cond, controlnet_scale=0.5)
+
+    seen = []
+    real = b.warm_unet_segmented
+
+    def spy(x, t, ctx, **kw):
+        seen.append(kw.get("mode", "exec"))
+        return real(x, t, ctx, **kw)
+
+    monkeypatch.setattr(b, "warm_unet_segmented", spy)
+    step.warm_start(inp)                       # CPU backend -> 'exec'
+    assert seen and all(m == "exec" for m in seen), seen
+
+    seen.clear()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    step.warm_start(inp)                       # CN resident off-CPU -> 'aot'
+    assert seen and all(m == "aot" for m in seen), seen
