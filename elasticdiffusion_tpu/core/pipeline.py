@@ -357,6 +357,18 @@ class ElasticDiffusion:
         condition_image (ControlNet), return_arrays."""
         import time as _time
         t_fn0 = _time.time()
+        # preamble phase laps (host wall-clock; device dispatch is async on
+        # the tunnel backend, so per-phase numbers attribute TRACE/COMPILE
+        # cost — the dominant term — while queued device work lands in the
+        # final 'flush' lap)
+        _pre: Dict[str, float] = {}
+        _pre_t = [t_fn0]
+
+        def _lap(name):
+            now = _time.time()
+            _pre[name] = _pre.get(name, 0.0) + (now - _pre_t[0])
+            _pre_t[0] = now
+
         b = self.bundle
         if isinstance(prompts, str):
             prompts = [prompts]
@@ -394,8 +406,10 @@ class ElasticDiffusion:
         rrg_w = rrg_weight_table(rrg_sched, num_inference_steps)
 
         # text
+        _lap("setup")
         uncond_text, uncond_pooled = self.get_text_embeds(negative_prompts)
         cond_text, cond_pooled = self.get_text_embeds(prompts)
+        _lap("text_encode")
         text_cfg = jnp.concatenate([uncond_text, cond_text])
         add_text_cfg = None
         add_time_ids = None
@@ -456,6 +470,7 @@ class ElasticDiffusion:
                                             jax.random.fold_in(bg_key, 1),
                                             self.scheduler) \
             if view_pad.needs_padding else {}
+        _lap("background_tables")
 
         scripted = scripted_noise is not None
         do_repaint = repaint_sampling and resampling_steps > 0
@@ -519,6 +534,7 @@ class ElasticDiffusion:
             step_plain_raw = mk(False)
             step_repaint = jax.jit(step_repaint_raw) if do_repaint else None
             step_plain = jax.jit(step_plain_raw)
+        _lap("step_build")
 
         # per-step cost model (SURVEY §3.1)
         V = view_plan.num_views
@@ -622,7 +638,9 @@ class ElasticDiffusion:
             if undo_s1mb_tbl is not None:
                 winp["undo_s1mb"] = undo_s1mb_tbl[0]
                 winp["undo_sb"] = undo_sb_tbl[0]
+            _lap("schedule_tables")
             warm_pending.warm_start(winp)
+            _lap("warm_start")
         # flush the queued preamble (text encode, background VAE encodes,
         # init latent) before starting the denoise timer: dispatch is async
         # on the tunnel backend and the first step's timing would otherwise
@@ -632,6 +650,7 @@ class ElasticDiffusion:
             for _a in (lat, *(t for d in (bg_down_tbl, bg_view_tbl)
                               for t in d.values())):
                 jax.device_get(jnp.ravel(_a)[0])
+            _lap("flush")
         t_start = _time.time()
         for i in steps_iter:
             inp = {"t": t_tbl[i], "coeffs": coeffs_tbl[i],
@@ -668,6 +687,7 @@ class ElasticDiffusion:
                 "denoise_seconds": elapsed,
                 "unet_view_forwards_per_sec": total_fwd / max(elapsed, 1e-9),
                 "preamble_seconds": t_start - t_fn0,
+                "preamble_breakdown": dict(_pre),
                 "segmented": use_segmented,
             }
             if use_segmented and getattr(self, "collect_phase_times", False):
