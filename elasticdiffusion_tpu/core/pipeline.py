@@ -431,6 +431,7 @@ class ElasticDiffusion:
         if off == "on" or (off == "auto" and b.controlnet_params is not None
                            and jax.default_backend() not in ("cpu",)):
             b.offload_text_encoders()
+        _lap("text_offload")
 
         # ControlNet condition: the reference prepares it at
         # downsample_size*8 (w_controlnet.py:1183-1193) and the pipeline
@@ -451,6 +452,7 @@ class ElasticDiffusion:
                 cn_cond = nearest_resize(cn_cond, low)
             if cn_cond.shape[0] == 1 and B > 1:
                 cn_cond = jnp.broadcast_to(cn_cond, (B,) + cn_cond.shape[1:])
+            _lap("condition_prep")
 
         # initial latent (/root/reference/elastic_diffusion.py:998-1000)
         key = jax.random.fold_in(self._base_key, 1)

@@ -361,11 +361,21 @@ class ModelBundle:
         low_vram CPU-offload hooks
         (/root/reference/elastic_diffusion.py:155-160). Returns how many
         encoder trees were actually moved."""
+        cache = self.__dict__.setdefault("_text_host", {})
         moved = 0
         host = []
-        for p in self.text_params:
+        for i, p in enumerate(self.text_params):
             if any(isinstance(l, jax.Array) for l in jax.tree.leaves(p)):
-                p = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), p)
+                # when this device tree is the one _resident_text_params
+                # uploaded from our cached host copy, the copy is current —
+                # skip the ~1.5 GB device_get (it costs tens of seconds on
+                # the tunnel backend, once per PROMPT without this cache)
+                if cache.get(("dev", i)) is p and i in cache:
+                    p = cache[i]
+                else:
+                    p = jax.tree.map(
+                        lambda a: np.asarray(jax.device_get(a)), p)
+                    cache[i] = p
                 moved += 1
             host.append(p)
         self.text_params = tuple(host)
@@ -373,14 +383,20 @@ class ModelBundle:
 
     def _resident_text_params(self, encoder_id: int):
         """Re-pin an offloaded encoder's weights on device ONCE and rebind,
-        so the 2x(uncond,cond) encodes of one prompt pay a single upload."""
+        so the 2x(uncond,cond) encodes of one prompt pay a single upload.
+        Remembers (host copy -> uploaded device tree) so the next offload
+        skips the device_get."""
         p = self.text_params[encoder_id]
         leaves = jax.tree.leaves(p)
         if leaves and not isinstance(leaves[0], jax.Array):
-            p = jax.device_put(p)
+            dev = jax.device_put(p)
+            cache = self.__dict__.setdefault("_text_host", {})
+            cache[encoder_id] = p
+            cache[("dev", encoder_id)] = dev
             lst = list(self.text_params)
-            lst[encoder_id] = p
+            lst[encoder_id] = dev
             self.text_params = tuple(lst)
+            p = dev
         return p
 
     def encode_text(self, input_ids, encoder_id: int = 0):

@@ -225,6 +225,7 @@ def test_text_offload_roundtrip(bundle_xl):
     # idempotent: nothing device-resident left to move
     assert b.offload_text_encoders() == 0
 
+    host_trees = list(b.text_params)
     after = [np.asarray(b.encode_text(ids, i)[0]) for i
              in range(len(b.text_models))]
     for w, g in zip(before, after):
@@ -232,3 +233,10 @@ def test_text_offload_roundtrip(bundle_xl):
     # first use re-pinned the tree: device-resident again
     for p in b.text_params:
         assert isinstance(jax.tree.leaves(p)[0], jax.Array)
+
+    # offload after a cached re-pin must NOT re-download: it rebinds the
+    # SAME host tree objects (the ~1.5 GB device_get costs tens of seconds
+    # per prompt on the tunnel backend without this)
+    assert b.offload_text_encoders() == len(b.text_params)
+    for hp, p in zip(host_trees, b.text_params):
+        assert p is hp, "re-offload should reuse the cached host copy"
