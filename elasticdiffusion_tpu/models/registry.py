@@ -376,10 +376,55 @@ class ModelBundle:
                     p = jax.tree.map(
                         lambda a: np.asarray(jax.device_get(a)), p)
                     cache[i] = p
+                # drop the cache's own reference to the device tree —
+                # holding it would pin the ~1.5 GB in HBM past this
+                # offload (the round-5 repeat-prompt OOM)
+                cache.pop(("dev", i), None)
                 moved += 1
             host.append(p)
         self.text_params = tuple(host)
         return moved
+
+    def _flat_device_put(self, encoder_id: int, host_tree):
+        """Upload a host tree as ONE transfer per dtype. The tunnel backend
+        pays ~60 ms of latency per transfer, so per-leaf device_put of the
+        ~1000-leaf encoder tree stalls ~60 s per prompt (measured in the
+        round-5 repeat-prompt flush lap) while the same bytes stream at
+        ~0.7 GB/s as a single buffer. Device-side slices restore the
+        leaves (async, negligible). The packed buffer is cached — the host
+        copy never changes — so later prompts skip the concatenation too."""
+        cache = self.__dict__.setdefault("_text_flat", {})
+        plan = cache.get(encoder_id)
+        if plan is None:
+            leaves, treedef = jax.tree.flatten(host_tree)
+            groups: dict = {}
+            for idx, l in enumerate(leaves):
+                groups.setdefault(np.dtype(l.dtype), []).append(idx)
+            flats, metas = [], []
+            for dt, idxs in groups.items():
+                flats.append(np.concatenate(
+                    [np.ravel(np.asarray(leaves[i])) for i in idxs]))
+                metas.append((tuple(idxs),
+                              tuple((leaves[i].shape, int(leaves[i].size))
+                                    for i in idxs)))
+            n = len(leaves)
+
+            # the whole unpack is ONE jitted program: eager per-leaf slices
+            # would each dispatch (and first compile) as their own remote
+            # program — measured as a ~68 s per-prompt stall in the flush
+            # lap of the round-5 repeat run
+            def unpack(*devs):
+                out = [None] * n
+                for dev, (idxs, info) in zip(devs, metas):
+                    off = 0
+                    for idx, (shp, sz) in zip(idxs, info):
+                        out[idx] = dev[off:off + sz].reshape(shp)
+                        off += sz
+                return jax.tree.unflatten(treedef, out)
+            plan = (flats, jax.jit(unpack))
+            cache[encoder_id] = plan
+        flats, unpack = plan
+        return unpack(*[jax.device_put(f) for f in flats])
 
     def _resident_text_params(self, encoder_id: int):
         """Re-pin an offloaded encoder's weights on device ONCE and rebind,
@@ -389,7 +434,7 @@ class ModelBundle:
         p = self.text_params[encoder_id]
         leaves = jax.tree.leaves(p)
         if leaves and not isinstance(leaves[0], jax.Array):
-            dev = jax.device_put(p)
+            dev = self._flat_device_put(encoder_id, p)
             cache = self.__dict__.setdefault("_text_host", {})
             cache[encoder_id] = p
             cache[("dev", encoder_id)] = dev
@@ -466,12 +511,35 @@ def _init_vae(cfg: ModelBundleConfig, runtime: RuntimeConfig, key):
     return vae, vae_fp32, params
 
 
-def _init_text(cfg: ModelBundleConfig, runtime: RuntimeConfig, key):
+def _init_text(cfg: ModelBundleConfig, runtime: RuntimeConfig, key,
+               host_first: bool = False):
+    """host_first: run the init on the CPU backend and return HOST numpy
+    trees. Used when text offload will cycle these weights (ControlNet
+    residency): device_get on the tunnel backend runs at ~4 MB/s (~150 s
+    for the SDXL duo) while device_put streams at ~0.7 GB/s, so a host-born
+    copy makes the offload cycle transfer-free downward forever — the
+    encoders upload lazily on first use (~1 s, _resident_text_params) and
+    every offload reuses the host copy. jax.random is backend-deterministic
+    (threefry), so host-first init draws the same weights."""
+    cpu = None
+    if host_first:
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except Exception:
+            cpu = None
     models, params = [], []
     for i, tc in enumerate(cfg.text_encoders):
         m = CLIPTextModel(tc, dtype=runtime.compute_dtype)
-        p = jax.jit(m.init)(jax.random.fold_in(key, i),
-                   jnp.zeros((1, tc.max_position_embeddings), jnp.int32))["params"]
+        ids = jnp.zeros((1, tc.max_position_embeddings), jnp.int32)
+        ki = jax.random.fold_in(key, i)
+        if cpu is not None:
+            with jax.default_device(cpu):
+                p = jax.jit(m.init)(ki, ids)["params"]
+            # to numpy NOW: any later jnp op on these (e.g. the dtype cast)
+            # would otherwise run on the default backend and upload fp32
+            p = jax.tree.map(lambda a: np.asarray(a), p)
+        else:
+            p = jax.jit(m.init)(ki, ids)["params"]
         models.append(m)
         params.append(p)
     return tuple(models), tuple(params)
@@ -523,7 +591,14 @@ def load_bundle(sd_version: str, runtime: RuntimeConfig = RuntimeConfig(),
     vae, vae_fp32, vae_params = _init_vae(cfg, runtime, k_vae)
     if checkpoint_dir is None:
         vae_params = _cast_params(vae_params, jnp.float32)
-    text_models, text_params = _init_text(cfg, runtime, k_text)
+    # host-first text init exactly when the text_offload auto-gate will
+    # cycle these weights (core/pipeline.py): the offload then never needs
+    # the ~4 MB/s tunnel device_get (artifacts/CN_FLAGSHIP_r05.json)
+    host_first_text = (controlnet_model is not None
+                       and getattr(runtime, "text_offload", "off") != "off"
+                       and jax.default_backend() not in ("cpu",))
+    text_models, text_params = _init_text(cfg, runtime, k_text,
+                                          host_first=host_first_text)
     if checkpoint_dir is None:
         text_params = tuple(_cast_params(p, runtime.param_dtype)
                             for p in text_params)
