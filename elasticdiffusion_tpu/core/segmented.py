@@ -99,7 +99,7 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                 return up[:, :, r, :][:, :, :, c]
             cnv = jax.vmap(one)(jnp.asarray(rows), jnp.asarray(cols))
             return cnv.reshape((-1,) + cnv.shape[2:])
-        _gather_cn = jax.jit(_gather_cn_fn, static_argnums=1)
+        # consumed inside the jitted conditioning pack (_make_cond_pack)
 
         def _cn_fwd(params, x_in, t, ctx, cond, scale, added_text_embeds=None,
                     added_time_ids=None):
@@ -199,57 +199,49 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
             i = j
         return jnp.concatenate(outs)
 
-    def update_conditioning(text_cfg, uncond_text, add_text_cfg=None,
-                            uncond_pooled=None, add_time_ids=None,
-                            controlnet_cond=None,
-                            controlnet_scale: float = 1.0):
-        """Re-aim this (possibly cached) step at new prompt/condition
-        tensors. Shapes must match the build-time shapes (same B)."""
-        cstate["BB"] = text_cfg.shape[0] // 2
-        cstate["ctx_views"] = jnp.tile(uncond_text, (V, 1, 1))
-        cstate["pooled_views"] = None if uncond_pooled is None else             jnp.tile(uncond_pooled, (V, 1))
-        cstate["add_time_ids"] = add_time_ids
-        cstate["cn_scale"] = jnp.float32(controlnet_scale)
-        cstate["cn_views"] = None
-        BB0 = text_cfg.shape[0] // 2
-        cn_lowres_cfg = None
-        if controlnet_cond is not None:
-            # condition arrives at downsample_size*8
-            # (/root/reference/elastic_diffusion_w_controlnet.py:1183-1193);
-            # direction path zero-pads it alongside the latent padding
-            # (:457-462), local path nearest-upsamples [0:1] to full res and
-            # view-crops at 8x latent coords (:932-949)
-            vsf = b.vae_scale_factor
-            l, r, tp, bp = statics.down_pad.pads
-            cond_pad = jnp.pad(
-                controlnet_cond,
-                ((0, 0), (0, 0), (tp * vsf, bp * vsf), (l * vsf, r * vsf)))
-            cn_lowres_cfg = jnp.concatenate([cond_pad, cond_pad])
-            cstate["cn_views"] = _gather_cn(controlnet_cond, BB0)
-        BB = text_cfg.shape[0] // 2
-        uncond, cond = text_cfg[:BB], text_cfg[BB:]
-        for n_sub in _dir_nsubs:
+    def _make_cond_pack(n_sub: int):
+        """ONE jitted program building a signature's full conditioning pack
+        (ctx, ate, tid, cn). Run eagerly, these ~12 tiles/concats/pads per
+        signature each dispatched as their own remote program on the tunnel
+        backend — measured as the bulk of a ~28 s per-PROMPT stall in the
+        round-5 repeat-run flush lap (artifacts/CN_FLAGSHIP_r05.json)."""
+
+        def f(text_cfg, uncond_text, add_text_cfg, uncond_pooled,
+              add_time_ids, controlnet_cond):
+            BB = text_cfg.shape[0] // 2
+            uncond, cond = text_cfg[:BB], text_cfg[BB:]
             # merged batch layout: [uncond substeps | cond substeps | views]
             ctx = jnp.concatenate([jnp.tile(uncond, (n_sub, 1, 1)),
                                    jnp.tile(cond, (n_sub, 1, 1)),
-                                   cstate["ctx_views"]])
+                                   jnp.tile(uncond_text, (V, 1, 1))])
             ate = None
             if add_text_cfg is not None:
                 au, ac = add_text_cfg[:BB], add_text_cfg[BB:]
                 ate = jnp.concatenate([jnp.tile(au, (n_sub, 1)),
                                        jnp.tile(ac, (n_sub, 1)),
-                                       cstate["pooled_views"]])
+                                       jnp.tile(uncond_pooled, (V, 1))])
             tid = None
             if add_time_ids is not None:
                 n_tot = (2 * n_sub + V) * BB
                 tid = jnp.broadcast_to(add_time_ids,
                                        (n_tot,) + add_time_ids.shape[1:])
             cn = None
-            if cn_lowres_cfg is not None:
-                low = cn_lowres_cfg[:BB]
+            if controlnet_cond is not None:
+                # condition arrives at downsample_size*8
+                # (/root/reference/elastic_diffusion_w_controlnet.py:
+                # 1183-1193); direction path zero-pads it alongside the
+                # latent padding (:457-462), local path nearest-upsamples
+                # [0:1] to full res and view-crops at 8x latent coords
+                # (:932-949)
+                vsf = b.vae_scale_factor
+                l, r, tp, bp = statics.down_pad.pads
+                low = jnp.pad(
+                    controlnet_cond,
+                    ((0, 0), (0, 0), (tp * vsf, bp * vsf),
+                     (l * vsf, r * vsf)))[:BB]
                 cn = jnp.concatenate([jnp.tile(low, (n_sub, 1, 1, 1)),
                                       jnp.tile(low, (n_sub, 1, 1, 1)),
-                                      cstate["cn_views"]])
+                                      _gather_cn_fn(controlnet_cond, BB)])
             # pad conditioning rows to the mesh width alongside pre_common's
             # x_in padding so the P('views') spec engages at ANY merged batch
             # (e.g. 20 or 6 on an 8-wide mesh; VERDICT r2 weak #1)
@@ -260,7 +252,26 @@ def build_segmented_step(pipe, statics, text_cfg, uncond_text, add_text_cfg,
                 tid = pad_rows_to_mesh(tid, mesh)
             if cn is not None:
                 cn = pad_rows_to_mesh(cn, mesh)
-            cstate[("est", n_sub)] = (ctx, ate, tid, cn)
+            return ctx, ate, tid, cn
+        return jax.jit(f)
+
+    def update_conditioning(text_cfg, uncond_text, add_text_cfg=None,
+                            uncond_pooled=None, add_time_ids=None,
+                            controlnet_cond=None,
+                            controlnet_scale: float = 1.0):
+        """Re-aim this (possibly cached) step at new prompt/condition
+        tensors. Shapes must match the build-time shapes (same B)."""
+        cstate["BB"] = text_cfg.shape[0] // 2
+        cstate["add_time_ids"] = add_time_ids
+        cstate["cn_scale"] = jnp.float32(controlnet_scale)
+        packs = cstate.setdefault("_cond_packs", {})
+        for n_sub in _dir_nsubs:
+            fn = packs.get(n_sub)
+            if fn is None:
+                fn = packs[n_sub] = _make_cond_pack(n_sub)
+            cstate[("est", n_sub)] = fn(text_cfg, uncond_text, add_text_cfg,
+                                        uncond_pooled, add_time_ids,
+                                        controlnet_cond)
 
     # ------------------------------------------------------------------
     # glue programs (each a small, fast-compiling jit)

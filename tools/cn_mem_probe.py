@@ -126,6 +126,23 @@ def main():
             print(f"[full] saved {out}", flush=True)
         if pipe.last_metrics:
             print(f"[full] metrics: {pipe.last_metrics}", flush=True)
+        # steady-state per-prompt cost: a second generate in the same
+        # process reuses the cached step builder, compiled programs,
+        # background-table program and the text-encoder host copy — this
+        # is the number a serving process pays per image
+        for rep in range(int(os.environ.get("ED_PROBE_REPEAT", "0"))):
+            t0 = time.time()
+            pipe.seed_everything(rep + 1)
+            arr, info = pipe.generate_image(
+                "probe repeat", height=H, width=W,
+                num_inference_steps=int(os.environ.get("ED_PROBE_STEPS",
+                                                       "2")),
+                guidance_scale=10.0, resampling_steps=10, new_p=0.3,
+                rrg_init_weight=2000, rrg_stop_t=0.4,
+                repaint_sampling=True, tiled_decoder=True,
+                return_arrays=True, condition_image=cond_low)
+            print(f"[repeat {rep}] generate {time.time()-t0:.0f}s; "
+                  f"metrics: {pipe.last_metrics}", flush=True)
     except Exception:
         traceback.print_exc()
     stats("after full pipeline attempt")
