@@ -17,6 +17,7 @@ TPU-first architecture (SURVEY §7.1):
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -363,8 +364,15 @@ class ElasticDiffusion:
         # final 'flush' lap)
         _pre: Dict[str, float] = {}
         _pre_t = [t_fn0]
+        # ED_PREAMBLE_SYNC=1: drain the device queue at every lap boundary
+        # so each lap owns its DEVICE time too (dispatch is async on the
+        # tunnel backend; a fresh 1-element fetch serializes behind the
+        # queue). Costs a sync per lap — diagnosis only.
+        _pre_sync = os.environ.get("ED_PREAMBLE_SYNC") == "1"
 
         def _lap(name):
+            if _pre_sync:
+                jax.device_get(jnp.zeros((), jnp.float32) + 0)
             now = _time.time()
             _pre[name] = _pre.get(name, 0.0) + (now - _pre_t[0])
             _pre_t[0] = now

@@ -351,48 +351,49 @@ class ModelBundle:
                 self.vae_params, images_nchw, noise)
 
     def offload_text_encoders(self) -> int:
-        """Move the text-encoder weights to HOST memory, freeing their HBM
-        (~1.5 GB for the SDXL dual encoders in bf16). The denoise loop never
-        reads them, and with ControlNet resident (~9.5 GB of weights on a
-        16 GB chip) that headroom is what lets the flagship UNet chain run
-        at full view_batch_size (the round-5 OOM site). encode_text re-pins
-        them on device on next use, so offloading between conditioning and
-        denoising is always safe. TPU-native analog of the reference's
+        """Free the text encoders' HBM (~1.5 GB for the SDXL dual encoders
+        in bf16). The denoise loop never reads them, and with ControlNet
+        resident (~9.5 GB of weights on a 16 GB chip) that headroom is what
+        lets the flagship UNet chain run at full view_batch_size (the
+        round-5 OOM site). encode_text re-uploads on next use (one packed
+        buffer per dtype), so offloading between conditioning and denoising
+        is always safe. Per-prompt cycle cost is purely the upload —
+        ~32 s on this tunnel backend's ~40 MB/s uplink, ~0.15 s on a
+        standard PCIe/DMA host. TPU-native analog of the reference's
         low_vram CPU-offload hooks
         (/root/reference/elastic_diffusion.py:155-160). Returns how many
-        encoder trees were actually moved."""
+        encoders had device residency to free."""
         cache = self.__dict__.setdefault("_text_host", {})
         moved = 0
         host = []
         for i, p in enumerate(self.text_params):
+            freed = False
             if any(isinstance(l, jax.Array) for l in jax.tree.leaves(p)):
-                # when this device tree is the one _resident_text_params
-                # uploaded from our cached host copy, the copy is current —
-                # skip the ~1.5 GB device_get (it costs tens of seconds on
-                # the tunnel backend, once per PROMPT without this cache)
-                if cache.get(("dev", i)) is p and i in cache:
-                    p = cache[i]
-                else:
-                    p = jax.tree.map(
-                        lambda a: np.asarray(jax.device_get(a)), p)
-                    cache[i] = p
-                # drop the cache's own reference to the device tree —
-                # holding it would pin the ~1.5 GB in HBM past this
-                # offload (the round-5 repeat-prompt OOM)
-                cache.pop(("dev", i), None)
-                moved += 1
+                # a device-resident tree (built without host-first init):
+                # pull it to host ONCE; every later cycle reuses the copy
+                # (device_get runs at ~4 MB/s on the tunnel — never repeat)
+                p = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), p)
+                freed = True
+            # the offload-cycle device residency is the packed flat buffer
+            # encode_text uploads (one per dtype) — drop it to free HBM
+            if cache.pop(("flatdev", i), None) is not None:
+                freed = True
+            moved += int(freed)
             host.append(p)
         self.text_params = tuple(host)
         return moved
 
-    def _flat_device_put(self, encoder_id: int, host_tree):
-        """Upload a host tree as ONE transfer per dtype. The tunnel backend
-        pays ~60 ms of latency per transfer, so per-leaf device_put of the
-        ~1000-leaf encoder tree stalls ~60 s per prompt (measured in the
-        round-5 repeat-prompt flush lap) while the same bytes stream at
-        ~0.7 GB/s as a single buffer. Device-side slices restore the
-        leaves (async, negligible). The packed buffer is cached — the host
-        copy never changes — so later prompts skip the concatenation too."""
+    def _flat_plan(self, encoder_id: int, host_tree):
+        """(flat host buffers, traced unpack) for one encoder tree: all
+        leaves of a dtype concatenated into ONE buffer, plus a function
+        that slices the tree back out of the device buffers. Both the
+        single-buffer transfer and the in-jit unpack exist because the
+        tunnel backend pays ~60 ms of fixed cost PER BUFFER: per-leaf
+        device_put stalls ~60 s/prompt, and even a dedicated 1000-output
+        unpack program stalls ~90 s materializing its outputs (measured,
+        round-5 synced-lap runs). Unpacking inside the consuming forward
+        jit leaves exactly one device buffer per dtype and lets XLA fuse
+        the slices into the forward."""
         cache = self.__dict__.setdefault("_text_flat", {})
         plan = cache.get(encoder_id)
         if plan is None:
@@ -409,10 +410,6 @@ class ModelBundle:
                                     for i in idxs)))
             n = len(leaves)
 
-            # the whole unpack is ONE jitted program: eager per-leaf slices
-            # would each dispatch (and first compile) as their own remote
-            # program — measured as a ~68 s per-prompt stall in the flush
-            # lap of the round-5 repeat run
             def unpack(*devs):
                 out = [None] * n
                 for dev, (idxs, info) in zip(devs, metas):
@@ -421,35 +418,32 @@ class ModelBundle:
                         out[idx] = dev[off:off + sz].reshape(shp)
                         off += sz
                 return jax.tree.unflatten(treedef, out)
-            plan = (flats, jax.jit(unpack))
+            plan = (tuple(flats), unpack)
             cache[encoder_id] = plan
-        flats, unpack = plan
-        return unpack(*[jax.device_put(f) for f in flats])
-
-    def _resident_text_params(self, encoder_id: int):
-        """Re-pin an offloaded encoder's weights on device ONCE and rebind,
-        so the 2x(uncond,cond) encodes of one prompt pay a single upload.
-        Remembers (host copy -> uploaded device tree) so the next offload
-        skips the device_get."""
-        p = self.text_params[encoder_id]
-        leaves = jax.tree.leaves(p)
-        if leaves and not isinstance(leaves[0], jax.Array):
-            dev = self._flat_device_put(encoder_id, p)
-            cache = self.__dict__.setdefault("_text_host", {})
-            cache[encoder_id] = p
-            cache[("dev", encoder_id)] = dev
-            lst = list(self.text_params)
-            lst[encoder_id] = dev
-            self.text_params = tuple(lst)
-            p = dev
-        return p
+        return plan
 
     def encode_text(self, input_ids, encoder_id: int = 0):
         m = self.text_models[encoder_id]
+        p = self.text_params[encoder_id]
+        leaves = jax.tree.leaves(p)
+        if leaves and not isinstance(leaves[0], jax.Array):
+            # offload-cycle path (RuntimeConfig.text_offload): the params
+            # live on HOST permanently; device residency is one packed
+            # buffer per dtype, uploaded once per offload cycle and sliced
+            # back into the tree INSIDE this forward's jit
+            flats, unpack = self._flat_plan(encoder_id, p)
+            cache = self.__dict__.setdefault("_text_host", {})
+            devs = cache.get(("flatdev", encoder_id))
+            if devs is None:
+                devs = tuple(jax.device_put(f) for f in flats)
+                cache[("flatdev", encoder_id)] = devs
+            fn = self._jit(
+                f"text_flat_{encoder_id}",
+                lambda fl, ids: m.apply({"params": unpack(*fl)}, ids))
+            return fn(devs, jnp.asarray(input_ids))
         return self._jit(f"text_{encoder_id}",
                          lambda params, ids: m.apply({"params": params}, ids))(
-                             self._resident_text_params(encoder_id),
-                             jnp.asarray(input_ids))
+                             p, jnp.asarray(input_ids))
 
     @property
     def vae_scale_factor(self) -> int:

@@ -230,13 +230,22 @@ def test_text_offload_roundtrip(bundle_xl):
              in range(len(b.text_models))]
     for w, g in zip(before, after):
         np.testing.assert_array_equal(w, g)
-    # first use re-pinned the tree: device-resident again
-    for p in b.text_params:
-        assert isinstance(jax.tree.leaves(p)[0], jax.Array)
-
-    # offload after a cached re-pin must NOT re-download: it rebinds the
-    # SAME host tree objects (the ~1.5 GB device_get costs tens of seconds
-    # per prompt on the tunnel backend without this)
-    assert b.offload_text_encoders() == len(b.text_params)
+    # the flat-buffer path keeps the params HOST-resident permanently:
+    # device residency is one packed buffer per dtype, unpacked inside the
+    # forward jit (per-leaf device buffers each pay ~60 ms of tunnel
+    # overhead — measured ~60-90 s/prompt for the ~1000-leaf SDXL duo)
     for hp, p in zip(host_trees, b.text_params):
-        assert p is hp, "re-offload should reuse the cached host copy"
+        assert p is hp, "params must stay the same host trees"
+    assert all(("flatdev", i) in b._text_host
+               for i in range(len(b.text_params))), (
+        "encode must leave the packed device buffers cached")
+
+    # offload after an encode cycle frees the packed buffers (no device_get)
+    assert b.offload_text_encoders() == len(b.text_params)
+    assert not any(("flatdev", i) in b._text_host
+                   for i in range(len(b.text_params)))
+    # and a fresh encode cycle re-uploads and still matches
+    again = [np.asarray(b.encode_text(ids, i)[0]) for i
+             in range(len(b.text_models))]
+    for w, g in zip(before, again):
+        np.testing.assert_array_equal(w, g)
